@@ -1,0 +1,129 @@
+"""Atomic rolling checkpoints with last/best/final triad and auto-resume.
+
+Reproduces the reference checkpoint manager semantics
+(train_gpt2.py:307-329,363-391,494-508):
+  * write to a `.tmp` file then `os.replace` -> atomic rolling `last`
+  * `best` written whenever val loss improves
+  * `final` at end of training
+  * auto-resume restores params, optimizer state and start_step.
+
+Format: a single `.npz` per checkpoint holding every pytree leaf under a
+"/"-joined path key, plus a JSON metadata blob. Device arrays are fetched
+to host first; loading restores plain numpy which JAX re-shards lazily on
+first use (device placement is owned by the train step's shardings, not by
+the checkpoint).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+import jax
+
+
+def _flatten(tree) -> Dict[str, np.ndarray]:
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = "/".join(
+            str(getattr(k, "key", getattr(k, "idx", getattr(k, "name", k))))
+            for k in path
+        )
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def _set_path(tree: dict, parts, value):
+    node = tree
+    for p in parts[:-1]:
+        node = node.setdefault(p, {})
+    node[parts[-1]] = value
+
+
+def _unflatten(flat: Dict[str, np.ndarray]):
+    tree: dict = {}
+    for key, val in flat.items():
+        _set_path(tree, key.split("/"), val)
+    return tree
+
+
+def save_checkpoint(path: str, tree: Any, meta: Optional[dict] = None) -> None:
+    """Atomically write `tree` (+ JSON-able `meta`) to `path` (.npz)."""
+    tree = jax.device_get(tree)
+    flat = _flatten(tree)
+    meta_json = json.dumps(meta or {})
+    directory = os.path.dirname(os.path.abspath(path)) or "."
+    os.makedirs(directory, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=directory, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez(f, __meta__=np.frombuffer(meta_json.encode(), dtype=np.uint8), **flat)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def load_checkpoint(path: str) -> Tuple[Any, dict]:
+    """Load a checkpoint -> (tree, meta)."""
+    with np.load(path, allow_pickle=False) as z:
+        meta_raw = z["__meta__"].tobytes().decode() if "__meta__" in z else "{}"
+        flat = {k: z[k] for k in z.files if k != "__meta__"}
+    return _unflatten(flat), json.loads(meta_raw)
+
+
+class CheckpointManager:
+    """last/best/final triad with the reference's cadence and atomicity."""
+
+    LAST = "model_last.npz"
+    BEST = "model_best.npz"
+    FINAL = "model_final.npz"
+
+    def __init__(self, ckpt_dir: str, save_every: int = 2500):
+        self.dir = ckpt_dir
+        self.save_every = save_every
+        self.best_val = float("inf")
+        os.makedirs(ckpt_dir, exist_ok=True)
+
+    @property
+    def last_path(self) -> str:
+        return os.path.join(self.dir, self.LAST)
+
+    @property
+    def best_path(self) -> str:
+        return os.path.join(self.dir, self.BEST)
+
+    @property
+    def final_path(self) -> str:
+        return os.path.join(self.dir, self.FINAL)
+
+    def maybe_resume(self) -> Optional[Tuple[Any, dict]]:
+        """Auto-resume from rolling `last` if present (train_gpt2.py:319-325)."""
+        if os.path.isfile(self.last_path):
+            return load_checkpoint(self.last_path)
+        return None
+
+    def state_tree(self, params, opt_state) -> dict:
+        return {"params": params, "opt_state": opt_state}
+
+    def save_step(
+        self, step: int, params, opt_state, val_loss: float, *, last_step: bool, meta=None
+    ) -> None:
+        """Rolling + best writes on the reference cadence
+        (train_gpt2.py:363-391)."""
+        m = dict(meta or {})
+        m.update({"step": step, "val_loss": float(val_loss)})
+        tree = self.state_tree(params, opt_state)
+        if step > 0 and (step % self.save_every == 0 or last_step):
+            save_checkpoint(self.last_path, tree, m)
+        if val_loss < self.best_val:
+            self.best_val = float(val_loss)
+            save_checkpoint(self.best_path, tree, m)
+
+    def save_final(self, step: int, params, opt_state, val_loss=None, meta=None) -> None:
+        m = dict(meta or {})
+        m.update({"step": step, "val_loss": val_loss})
+        save_checkpoint(self.final_path, self.state_tree(params, opt_state), m)

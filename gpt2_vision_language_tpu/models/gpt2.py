@@ -1,0 +1,335 @@
+"""GPT-2 decoder as pure functions over a parameter pytree.
+
+Re-design of the reference decoder (train_gpt2.py:21-144 and the
+cross-attention variant gpt2_cross-att/model.py:9-206) for TPU:
+
+  * parameters of all layers are STACKED along a leading layer axis and the
+    block runs under `lax.scan` — one compiled block body regardless of
+    depth, fast XLA compiles, and clean layer-sharding extension points;
+  * fused QKV projection stays one (D, 3D) matmul onto the MXU;
+  * attention dispatches to the Pallas flash kernel on TPU (ops/attention);
+  * weight tying is structural: only `wte` exists, the LM head is
+    `x @ wte.T` (reference ties tensors at train_gpt2.py:97);
+  * init matches the reference exactly: normal(0, 0.02) everywhere, biases
+    zero, residual output projections scaled by (2*n_layer)^-0.5
+    (train_gpt2.py:100-109), cross-attention gates start at 0.0
+    (gpt2_cross-att/model.py:97).
+
+The gated cross-attention variant (cfg.cross_attention=True) prepends
+`x += tanh(gate) * xattn(ln_x(x), z)` in every block
+(gpt2_cross-att/model.py:99-104) with a shared vision projector
+(gpt2_cross-att/model.py:78-84,124).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import GPTConfig
+from ..core.precision import Policy, DEFAULT_POLICY
+from ..ops.attention import sdpa
+from ..ops.layers import embed, gelu_tanh, layer_norm, linear
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+
+def _normal(key, shape, std):
+    return jax.random.normal(key, shape, dtype=jnp.float32) * std
+
+
+def init(key, cfg: GPTConfig):
+    """Initialize the parameter pytree (fp32).
+
+    Keys are split deterministically per leaf; distributional parity with the
+    reference init (same std / zeros pattern), not bitwise RNG parity.
+    """
+    d, L, vp = cfg.n_embd, cfg.n_layer, cfg.padded_vocab_size
+    proj_std = 0.02 * (2 * L) ** -0.5  # NANOGPT_SCALE_INIT (train_gpt2.py:104)
+    keys = iter(jax.random.split(key, 32))
+
+    params = {
+        "wte": _normal(next(keys), (vp, d), 0.02),
+        "wpe": _normal(next(keys), (cfg.block_size, d), 0.02),
+        "blocks": {
+            "ln1": {"scale": jnp.ones((L, d)), "bias": jnp.zeros((L, d))},
+            "attn": {
+                "wqkv": _normal(next(keys), (L, d, 3 * d), 0.02),
+                "bqkv": jnp.zeros((L, 3 * d)),
+                "wo": _normal(next(keys), (L, d, d), proj_std),
+                "bo": jnp.zeros((L, d)),
+            },
+            "ln2": {"scale": jnp.ones((L, d)), "bias": jnp.zeros((L, d))},
+            "mlp": {
+                "wfc": _normal(next(keys), (L, d, 4 * d), 0.02),
+                "bfc": jnp.zeros((L, 4 * d)),
+                "wproj": _normal(next(keys), (L, 4 * d, d), proj_std),
+                "bproj": jnp.zeros((L, d)),
+            },
+        },
+        "lnf": {"scale": jnp.ones((d,)), "bias": jnp.zeros((d,))},
+    }
+    if cfg.cross_attention:
+        assert cfg.img_embd > 0
+        params["blocks"]["lnx"] = {
+            "scale": jnp.ones((L, d)),
+            "bias": jnp.zeros((L, d)),
+        }
+        params["blocks"]["xattn"] = {
+            "wq": _normal(next(keys), (L, d, d), 0.02),
+            "bq": jnp.zeros((L, d)),
+            "wkv": _normal(next(keys), (L, d, 2 * d), 0.02),
+            "bkv": jnp.zeros((L, 2 * d)),
+            "wo": _normal(next(keys), (L, d, d), proj_std),
+            "bo": jnp.zeros((L, d)),
+        }
+        # Flamingo-style scalar gate per block, init 0.0 so the pretrained
+        # LM is untouched at step 0 (gpt2_cross-att/model.py:97).
+        params["blocks"]["gate"] = jnp.zeros((L,))
+        params["vis_proj"] = {
+            "w": _normal(next(keys), (cfg.img_embd, d), 0.02),
+            "b": jnp.zeros((d,)),
+        }
+    return params
+
+
+def param_count(params) -> int:
+    return sum(int(p.size) for p in jax.tree.leaves(params))
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _split_heads(x, n_head):
+    b, t, c = x.shape
+    return x.reshape(b, t, n_head, c // n_head).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x):
+    b, h, t, hs = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, t, h * hs)
+
+
+def self_attention(p, x, cfg: GPTConfig, *, policy: Policy, attn_impl: str):
+    """Causal self-attention with fused QKV (train_gpt2.py:33-43)."""
+    qkv = linear(x, p["wqkv"], p["bqkv"], policy=policy)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q, k, v = (_split_heads(t, cfg.n_head) for t in (q, k, v))
+    y = sdpa(
+        policy.cast_compute(q),
+        policy.cast_compute(k),
+        policy.cast_compute(v),
+        causal=True,
+        impl=attn_impl,
+    ).astype(x.dtype)
+    return linear(_merge_heads(y), p["wo"], p["bo"], policy=policy)
+
+
+def cross_attention(p, x, z, cfg: GPTConfig, *, policy: Policy):
+    """Non-causal text->vision cross-attention (gpt2_cross-att/model.py:34-58).
+    KV sequence is tiny (33 visual tokens) so the XLA path is optimal."""
+    q = linear(x, p["wq"], p["bq"], policy=policy)
+    kv = linear(z, p["wkv"], p["bkv"], policy=policy)
+    k, v = jnp.split(kv, 2, axis=-1)
+    q, k, v = (_split_heads(t, cfg.n_head) for t in (q, k, v))
+    y = sdpa(
+        policy.cast_compute(q),
+        policy.cast_compute(k),
+        policy.cast_compute(v),
+        causal=False,
+        impl="xla",
+    ).astype(x.dtype)
+    return linear(_merge_heads(y), p["wo"], p["bo"], policy=policy)
+
+
+def mlp(p, x, *, policy: Policy):
+    """c_fc -> tanh-GELU -> c_proj (train_gpt2.py:46-59)."""
+    h = gelu_tanh(linear(x, p["wfc"], p["bfc"], policy=policy))
+    return linear(h, p["wproj"], p["bproj"], policy=policy)
+
+
+def block(layer_params, x, z, cfg: GPTConfig, *, policy: Policy, attn_impl: str):
+    """Pre-LN residual block (train_gpt2.py:62-74); with optional gated
+    cross-attention prologue (gpt2_cross-att/model.py:99-104)."""
+    p = layer_params
+    if cfg.cross_attention and z is not None:
+        xa = cross_attention(
+            p["xattn"],
+            layer_norm(x, p["lnx"]["scale"], p["lnx"]["bias"]),
+            z,
+            cfg,
+            policy=policy,
+        )
+        x = x + jnp.tanh(p["gate"]) * xa
+    x = x + self_attention(
+        p["attn"],
+        layer_norm(x, p["ln1"]["scale"], p["ln1"]["bias"]),
+        cfg,
+        policy=policy,
+        attn_impl=attn_impl,
+    )
+    x = x + mlp(p["mlp"], layer_norm(x, p["ln2"]["scale"], p["ln2"]["bias"]), policy=policy)
+    return x
+
+
+def run_blocks(
+    params,
+    x,
+    cfg: GPTConfig,
+    *,
+    z=None,
+    policy: Policy = DEFAULT_POLICY,
+    attn_impl: str = "auto",
+    remat: bool = False,
+):
+    """Scan the stacked blocks over the layer axis."""
+
+    def body(carry, layer_params):
+        return (
+            block(layer_params, carry, z, cfg, policy=policy, attn_impl=attn_impl),
+            None,
+        )
+
+    if remat:
+        body = jax.checkpoint(body, prevent_cse=False)
+    x, _ = jax.lax.scan(body, x, params["blocks"])
+    return x
+
+
+def embed_tokens(params, idx, cfg: GPTConfig, *, pos_offset: int = 0):
+    """wte + wpe embedding sum (train_gpt2.py:114-117)."""
+    t = idx.shape[-1]
+    pos = jnp.arange(pos_offset, pos_offset + t)
+    return embed(params["wte"], idx) + embed(params["wpe"], pos)
+
+
+def lm_head(params, x, cfg: GPTConfig, *, policy: Policy = DEFAULT_POLICY):
+    """Tied unembedding: logits = ln_f(x) @ wte.T (train_gpt2.py:96-97,120-121)."""
+    x = layer_norm(x, params["lnf"]["scale"], params["lnf"]["bias"])
+    logits = jnp.dot(
+        policy.cast_compute(x),
+        policy.cast_compute(params["wte"]).T,
+        preferred_element_type=policy.accum_dtype,
+    )
+    return logits
+
+
+def forward_embeds(
+    params,
+    embeds,
+    cfg: GPTConfig,
+    *,
+    z=None,
+    policy: Policy = DEFAULT_POLICY,
+    attn_impl: str = "auto",
+    remat: bool = False,
+):
+    """Run blocks + ln_f + lm_head over already-embedded inputs. Used by the
+    prefix-conditioning caption wrapper (gpt2_linear/model.py:167-173)."""
+    x = run_blocks(params, embeds, cfg, z=z, policy=policy, attn_impl=attn_impl, remat=remat)
+    return lm_head(params, x, cfg, policy=policy)
+
+
+def apply(
+    params,
+    idx,
+    cfg: GPTConfig,
+    *,
+    targets=None,
+    target_mask=None,
+    z=None,
+    policy: Policy = DEFAULT_POLICY,
+    attn_impl: str = "auto",
+    remat: bool = False,
+):
+    """Full forward. Returns (logits, loss); loss is None without targets.
+
+    Matches GPT.forward (train_gpt2.py:111-125) and the masked-mean CE of the
+    cross-attention variant (gpt2_cross-att/model.py:169-186).
+    """
+    assert idx.shape[-1] <= cfg.block_size
+    x = embed_tokens(params, idx, cfg).astype(policy.compute_dtype)
+    if z is not None and cfg.cross_attention:
+        z = linear(z, params["vis_proj"]["w"], params["vis_proj"]["b"], policy=policy)
+        z = z.astype(x.dtype)
+    logits = forward_embeds(
+        params, x, cfg, z=z, policy=policy, attn_impl=attn_impl, remat=remat
+    )
+    loss = None
+    if targets is not None:
+        loss = cross_entropy(logits, targets, mask=target_mask)
+    return logits, loss
+
+
+def cross_entropy(logits, targets, *, mask=None):
+    """Token-level CE in fp32.
+
+    mask=None: plain mean over all positions (F.cross_entropy,
+    train_gpt2.py:124). With a mask: masked mean with sum clamped >= 1
+    (gpt2_cross-att/model.py:176-185). Targets equal to -100 are ignored
+    (ignore_index semantics, gpt2_linear/model.py:205-210).
+    """
+    logits = logits.astype(jnp.float32)
+    ignore = targets == -100
+    safe_targets = jnp.where(ignore, 0, targets)
+    logz = jax.scipy.special.logsumexp(logits, axis=-1)
+    gold = jnp.take_along_axis(
+        logits, safe_targets[..., None], axis=-1
+    ).squeeze(-1)
+    nll = logz - gold
+    valid = jnp.logical_not(ignore)
+    if mask is not None:
+        valid = jnp.logical_and(valid, mask)
+    nll = nll * valid
+    denom = jnp.maximum(jnp.sum(valid), 1)
+    return jnp.sum(nll) / denom
+
+
+# ---------------------------------------------------------------------------
+# Trainability masks (freezing)
+# ---------------------------------------------------------------------------
+
+
+def trainable_mask_all(params):
+    return jax.tree.map(lambda _: True, params)
+
+
+def trainable_mask_xattn(params):
+    """Freeze everything except vis_proj, xattn (+lnx? no: reference keeps
+    ln_x frozen... ln_x is created at construction and only xattn params,
+    cross_gate, vis_proj are unfrozen — gpt2_cross-att/model.py:131-139; note
+    ln_x is INSIDE the block but NOT unfrozen there, so it trains only via
+    init values i.e. stays at identity)."""
+    mask = jax.tree.map(lambda _: False, params)
+    mask["vis_proj"] = jax.tree.map(lambda _: True, params["vis_proj"])
+    mask["blocks"]["xattn"] = jax.tree.map(
+        lambda _: True, params["blocks"]["xattn"]
+    )
+    mask["blocks"]["gate"] = True
+    return mask
+
+
+def decay_mask(params):
+    """True where AdamW weight decay applies: torch-ndim >= 2
+    (train_gpt2.py:130-135). In the stacked layout every blocks/ leaf carries
+    a leading layer axis, so the torch-equivalent ndim is (ndim - 1) for
+    block leaves and ndim for the rest. Rule by name: weights decay; biases,
+    layernorm scale/bias, gates do not; embeddings (wte, wpe) decay."""
+
+    def per_path(path, leaf):
+        names = [getattr(k, "key", getattr(k, "name", str(k))) for k in path]
+        last = names[-1]
+        if last in ("wte", "wpe"):
+            return True
+        if last.startswith("w") and last not in ("gate",):
+            return True
+        return False
+
+    return jax.tree_util.tree_map_with_path(per_path, params)

@@ -1,0 +1,118 @@
+"""Scaled dot-product attention.
+
+TPU-native replacement for the reference's `F.scaled_dot_product_attention`
+(FlashAttention CUDA kernel, train_gpt2.py:40; non-causal cross-attention
+gpt2_cross-att/model.py:55). Two paths:
+
+  * `impl='xla'`  — plain einsum attention; XLA fuses it well for small
+    KV (the 33-token cross-attention, Q-Former) and it is the numerics
+    reference for tests.
+  * `impl='flash'` — blockwise online-softmax Pallas kernel
+    (ops/flash_attention.py), used for the causal T=1024 decoder hot path
+    on TPU. O(T) memory, never materializes the (T, T) score matrix in HBM.
+
+`impl='auto'` routes causal long-sequence attention to flash when running
+on TPU, everything else to XLA.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _flash_available() -> bool:
+    try:
+        from . import flash_attention  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover - no backend at all
+        return False
+
+
+def sdpa(q, k, v, *, causal: bool, impl: str = "auto"):
+    """Attention over (B, H, Tq, hs) x (B, H, Tk, hs) -> (B, H, Tq, hs).
+
+    Matches torch F.scaled_dot_product_attention semantics: scale =
+    1/sqrt(head_dim), softmax in fp32.
+    """
+    if impl == "auto":
+        use_flash = (
+            causal
+            and _flash_available()
+            and _on_tpu()
+            and q.shape[2] == k.shape[2]
+            and q.shape[2] >= 256
+            and q.shape[2] % 128 == 0
+        )
+        impl = "flash" if use_flash else "xla"
+    if impl == "flash":
+        from .flash_attention import flash_attention
+
+        return flash_attention(q, k, v, causal=causal)
+    if impl == "auto":  # flash unavailable for these shapes/platform
+        impl = "xla"
+    return xla_sdpa(q, k, v, causal=causal)
+
+
+def causal_sdpa(q, k, v, *, impl: str = "auto"):
+    return sdpa(q, k, v, causal=True, impl=impl)
+
+
+def xla_sdpa(q, k, v, *, causal: bool):
+    """Reference einsum attention. Softmax in fp32, matmuls accumulate fp32."""
+    out_dtype = q.dtype
+    head_dim = q.shape[-1]
+    scale = 1.0 / (head_dim**0.5)
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    )
+    scores = scores * scale
+    if causal:
+        tq, tk = q.shape[2], k.shape[2]
+        qpos = jnp.arange(tq)[:, None] + (tk - tq)  # right-aligned for decode
+        kpos = jnp.arange(tk)[None, :]
+        mask = qpos >= kpos
+        scores = jnp.where(mask[None, None], scores, -jnp.inf)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd",
+        probs.astype(v.dtype),
+        v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(out_dtype)
+
+
+def decode_sdpa(q, k_cache, v_cache, cache_len):
+    """Single-token decode attention with a padded KV cache.
+
+    q: (B, H, 1, hs); k_cache/v_cache: (B, H, maxT, hs); cache_len: scalar
+    number of valid cache entries (including the current token).
+    """
+    out_dtype = q.dtype
+    head_dim = q.shape[-1]
+    scale = 1.0 / (head_dim**0.5)
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k_cache, preferred_element_type=jnp.float32
+    )
+    scores = scores * scale
+    valid = jnp.arange(k_cache.shape[2])[None, None, None, :] < cache_len
+    scores = jnp.where(valid, scores, -jnp.inf)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd",
+        probs.astype(v_cache.dtype),
+        v_cache,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(out_dtype)
