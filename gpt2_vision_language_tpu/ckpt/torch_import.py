@@ -19,10 +19,15 @@ from ..core.config import GPTConfig
 
 
 def _np(x):
-    """Accept torch tensors or numpy arrays without importing torch here."""
+    """Accept torch tensors or numpy arrays without importing torch here.
+
+    Always copies: torch `.numpy()` shares memory with the live parameter
+    and JAX-on-CPU can alias numpy buffers zero-copy, so without a copy a
+    later torch `optimizer.step()` would silently mutate imported params.
+    """
     if hasattr(x, "detach"):
         x = x.detach().to("cpu").float().numpy()
-    return np.asarray(x, dtype=np.float32)
+    return np.array(x, dtype=np.float32, copy=True)
 
 
 def _stack(sd: Mapping, template: str, n_layer: int, transpose: bool):

@@ -1,0 +1,134 @@
+"""AdamW with decay/no-decay groups, global-norm clipping and freezing.
+
+Semantics match the reference exactly (train_gpt2.py:127-144 + clip at
+:472): weight decay 0.1 only on torch-ndim>=2 params, betas (0.9, 0.95),
+eps 1e-8, decoupled decay applied before the Adam step (torch AdamW order),
+grads pre-scaled by min(1, clip/||g||) with the global norm taken over ALL
+trainable grads. Frozen params (requires_grad=False in the reference,
+e.g. gpt2_linear/model.py:161-164) are excluded from both the update and
+the clip norm by a trainable mask.
+
+The update runs through the fused Pallas kernel (ops/fused_adamw.py) on
+TPU for lane-aligned leaves and through identical XLA arithmetic otherwise.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import OptimizerConfig
+from ..ops.fused_adamw import fused_adamw_leaf, leaf_supports_fused
+
+
+def _tmap(f, *trees):
+    return jax.tree.map(f, *trees)
+
+
+def adamw_init(params):
+    zeros = _tmap(jnp.zeros_like, params)
+    return {
+        "m": zeros,
+        "v": _tmap(jnp.zeros_like, params),
+        "step": jnp.zeros((), jnp.int32),
+    }
+
+
+def global_norm(grads, mask=None):
+    leaves = jax.tree.leaves(
+        _tmap(lambda g, m: jnp.sum(jnp.square(g)) * m, grads, mask)
+        if mask is not None
+        else _tmap(lambda g: jnp.sum(jnp.square(g)), grads)
+    )
+    return jnp.sqrt(sum(leaves))
+
+
+def adamw_update(
+    params,
+    grads,
+    state,
+    lr,
+    cfg: OptimizerConfig,
+    *,
+    decay_mask,
+    trainable_mask=None,
+    use_fused: bool = False,
+):
+    """One optimizer step. Returns (new_params, new_state, pre_clip_norm)."""
+    if trainable_mask is None:
+        trainable_mask = _tmap(lambda _: True, params)
+    step = state["step"] + 1
+    t = step.astype(jnp.float32)
+    bc1 = 1.0 - cfg.beta1**t
+    bc2 = 1.0 - cfg.beta2**t
+
+    norm = global_norm(grads, trainable_mask)
+    clip_scale = jnp.minimum(1.0, cfg.grad_clip / (norm + 1e-6))
+
+    scalars_nowd = jnp.stack(
+        [
+            lr,
+            jnp.float32(cfg.beta1),
+            jnp.float32(cfg.beta2),
+            jnp.float32(cfg.eps),
+            clip_scale,
+            bc1,
+            bc2,
+        ]
+    ).astype(jnp.float32)
+
+    def update_leaf(p, g, m, v, decay, trainable):
+        if not trainable:
+            return p, m, v
+        wd = cfg.weight_decay if decay else 0.0
+        if use_fused and leaf_supports_fused(p):
+            return fused_adamw_leaf(p, g, m, v, scalars_nowd, wd=wd)
+        g = g * clip_scale
+        m_new = cfg.beta1 * m + (1.0 - cfg.beta1) * g
+        v_new = cfg.beta2 * v + (1.0 - cfg.beta2) * g * g
+        mhat = m_new / bc1
+        vhat = v_new / bc2
+        if wd:
+            p = p * (1.0 - lr * wd)
+        p = p - lr * mhat / (jnp.sqrt(vhat) + cfg.eps)
+        return p, m_new, v_new
+
+    flat_p, treedef = jax.tree.flatten(params)
+    flat_g = treedef.flatten_up_to(grads)
+    flat_m = treedef.flatten_up_to(state["m"])
+    flat_v = treedef.flatten_up_to(state["v"])
+    flat_decay = treedef.flatten_up_to(decay_mask)
+    flat_train = treedef.flatten_up_to(trainable_mask)
+
+    new_p, new_m, new_v = [], [], []
+    for p, g, m, v, d, tr in zip(
+        flat_p, flat_g, flat_m, flat_v, flat_decay, flat_train
+    ):
+        np_, nm, nv = update_leaf(p, g, m, v, bool(d), bool(tr))
+        new_p.append(np_)
+        new_m.append(nm)
+        new_v.append(nv)
+
+    new_params = jax.tree.unflatten(treedef, new_p)
+    new_state = {
+        "m": jax.tree.unflatten(treedef, new_m),
+        "v": jax.tree.unflatten(treedef, new_v),
+        "step": step,
+    }
+    return new_params, new_state, norm
+
+
+# ---------------------------------------------------------------------------
+# Freezing
+# ---------------------------------------------------------------------------
+
+
+def freeze(params, trainable_mask):
+    """stop_gradient on frozen leaves: their grads become structural zeros
+    that XLA dead-code-eliminates, reproducing requires_grad_(False)
+    (gpt2_linear/model.py:161-164) without touching the model code."""
+    return _tmap(
+        lambda p, m: p if m else jax.lax.stop_gradient(p), params, trainable_mask
+    )

@@ -1,0 +1,106 @@
+"""Jitted training / eval steps with in-graph gradient accumulation.
+
+Replaces the reference's hot loop (train_gpt2.py:456-476): the 32-micro-step
+Python loop with backward per micro-batch and a DDP all-reduce on the last
+one becomes a single jitted function containing a `lax.scan` over
+micro-batches. Consequences on TPU:
+
+  * one compilation, zero Python dispatch per micro-step;
+  * gradients live in fp32 accumulators carried through the scan;
+  * data parallelism: the micro-batch axis is sharded over the mesh "data"
+    axis; XLA inserts the gradient all-reduce (psum over ICI) exactly once,
+    fused into the update — the moral equivalent of DDP's
+    `require_backward_grad_sync = (micro == last)` (train_gpt2.py:467-468);
+  * LR schedule, global-norm clip and the AdamW update (Pallas fused kernel)
+    run in the same graph, so one host->device dispatch per optimizer step.
+
+Donation of (params, opt_state) keeps peak HBM at params + opt + one grads
+tree + activations of a single micro-batch (with remat on blocks).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import OptimizerConfig, ScheduleConfig
+from .optimizer import adamw_update, freeze
+from .schedule import cosine_warmup_lr
+
+
+def make_train_step(
+    loss_fn: Callable,
+    opt_cfg: OptimizerConfig,
+    sched_cfg: ScheduleConfig,
+    *,
+    decay_mask,
+    trainable_mask=None,
+    use_fused_adamw: bool = False,
+    donate: bool = True,
+    mesh=None,
+):
+    """Build `step(params, opt_state, batch, step_idx) -> (params, opt_state,
+    metrics)`.
+
+    loss_fn(params, micro_batch) -> scalar loss. `batch` is a pytree whose
+    leaves have a leading micro-step axis: (accum, B, ...). metrics carries
+    {loss, lr, grad_norm} matching the reference's per-step log line
+    (train_gpt2.py:485).
+    """
+
+    def step(params, opt_state, batch, step_idx):
+        lr = cosine_warmup_lr(step_idx, sched_cfg)
+        p_for_grad = (
+            freeze(params, trainable_mask) if trainable_mask is not None else params
+        )
+
+        grad_fn = jax.value_and_grad(loss_fn)
+
+        def body(carry, micro):
+            gsum, lsum = carry
+            loss, grads = grad_fn(p_for_grad, micro)
+            gsum = jax.tree.map(
+                lambda a, g: a + g.astype(jnp.float32), gsum, grads
+            )
+            return (gsum, lsum + loss), None
+
+        accum = jax.tree.leaves(batch)[0].shape[0]
+        gzero = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), params)
+        (gsum, lsum), _ = jax.lax.scan(body, (gzero, jnp.float32(0.0)), batch)
+        scale = 1.0 / accum
+        grads = jax.tree.map(lambda g: g * scale, gsum)
+        loss = lsum * scale
+
+        new_params, new_opt, norm = adamw_update(
+            params,
+            grads,
+            opt_state,
+            lr,
+            opt_cfg,
+            decay_mask=decay_mask,
+            trainable_mask=trainable_mask,
+            use_fused=use_fused_adamw,
+        )
+        metrics = {"loss": loss, "lr": lr, "grad_norm": norm}
+        return new_params, new_opt, metrics
+
+    donate_argnums = (0, 1) if donate else ()
+    return jax.jit(step, donate_argnums=donate_argnums)
+
+
+def make_eval_step(loss_fn: Callable):
+    """Jitted eval: mean loss over a (steps, B, ...) batch pytree
+    (val-loss loop, train_gpt2.py:341-350)."""
+
+    def step(params, batch):
+        def body(lsum, micro):
+            return lsum + loss_fn(params, micro), None
+
+        n = jax.tree.leaves(batch)[0].shape[0]
+        lsum, _ = jax.lax.scan(body, jnp.float32(0.0), batch)
+        return lsum / n
+
+    return jax.jit(step)
