@@ -1,0 +1,120 @@
+"""FineWeb-Edu token-shard pipeline.
+
+Loader reproduces `DataLoaderLite` semantics exactly
+(train_gpt2.py:149-187): uint16/int32 `.npy` shards in `$FW_OUT_DIR`
+(default `edu_fineweb10B`), filename-filtered by split, sorted; per-rank
+disjoint striding `pos0 = B*T*rank`, advance `B*T*world`, wrap to the next
+shard when fewer than B*T*world+1 tokens remain; `next_batch()` returns
+(x, y) = (buf[:-1], buf[1:]) reshaped (B, T).
+
+TPU-native extras the reference lacks:
+  * `next_accum_batch(k)` returns a (k, B, T) stack so the whole
+    grad-accumulation window ships to the device in ONE transfer and feeds
+    the in-graph `lax.scan` (train/step.py) — k host->device copies -> 1.
+  * shards are memory-mapped (np.load mmap_mode) so shard switches don't
+    re-read 100M tokens through the page cache eagerly;
+  * optional C++ prefetching reader (runtime/shard_reader) warms the next
+    shard off the critical path.
+  * a shard writer + synthetic-corpus generator (the reference's prep
+    script is absent from its repo, SURVEY.md §6 defect c).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+def list_shards(data_dir: str, split: str) -> List[str]:
+    assert split in ("train", "val")
+    names = sorted(s for s in os.listdir(data_dir) if split in s)
+    assert names, f"no shards found for split {split} in {data_dir}"
+    return [os.path.join(data_dir, s) for s in names]
+
+
+def load_tokens(path: str) -> np.ndarray:
+    arr = np.load(path, mmap_mode="r")
+    return arr
+
+
+class TokenShardLoader:
+    """Per-rank strided reader over token shards (DataLoaderLite parity)."""
+
+    def __init__(
+        self,
+        batch_size: int,
+        seq_len: int,
+        *,
+        rank: int = 0,
+        world_size: int = 1,
+        split: str = "train",
+        data_dir: Optional[str] = None,
+    ):
+        self.B = batch_size
+        self.T = seq_len
+        self.rank = rank
+        self.world = world_size
+        data_dir = data_dir or os.environ.get("FW_OUT_DIR", "edu_fineweb10B")
+        self.shards = list_shards(data_dir, split)
+        self.reset()
+
+    def reset(self) -> None:
+        self.current_shard = 0
+        self.tokens = load_tokens(self.shards[0])
+        self.pos = self.B * self.T * self.rank
+
+    def _advance(self) -> None:
+        self.pos += self.B * self.T * self.world
+        if self.pos + (self.B * self.T * self.world + 1) > len(self.tokens):
+            self.current_shard = (self.current_shard + 1) % len(self.shards)
+            self.tokens = load_tokens(self.shards[self.current_shard])
+            self.pos = self.B * self.T * self.rank
+
+    def next_batch(self) -> Tuple[np.ndarray, np.ndarray]:
+        b, t = self.B, self.T
+        buf = np.asarray(self.tokens[self.pos : self.pos + b * t + 1], np.int32)
+        x = buf[:-1].reshape(b, t)
+        y = buf[1:].reshape(b, t)
+        self._advance()
+        return x, y
+
+    def next_accum_batch(self, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        """(k, B, T) x/y stack for one optimizer step's scan."""
+        xs = np.empty((k, self.B, self.T), np.int32)
+        ys = np.empty((k, self.B, self.T), np.int32)
+        for i in range(k):
+            xs[i], ys[i] = self.next_batch()
+        return xs, ys
+
+
+def write_token_shard(path: str, tokens: np.ndarray) -> None:
+    """Write a uint16 token shard (the format DataLoaderLite consumes)."""
+    tokens = np.asarray(tokens)
+    assert tokens.max() < 2**16
+    np.save(path, tokens.astype(np.uint16))
+
+
+def write_synthetic_corpus(
+    data_dir: str,
+    *,
+    vocab_size: int = 50257,
+    shard_tokens: int = 1 << 20,
+    n_train: int = 2,
+    n_val: int = 1,
+    seed: int = 0,
+) -> None:
+    """Synthetic Zipf-distributed corpus for tests/benchmarks (the real
+    FineWeb-Edu download needs network access)."""
+    os.makedirs(data_dir, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    ranks = np.arange(1, vocab_size + 1, dtype=np.float64)
+    probs = 1.0 / ranks
+    probs /= probs.sum()
+    for split, n in (("train", n_train), ("val", n_val)):
+        for i in range(n):
+            toks = rng.choice(vocab_size, size=shard_tokens, p=probs)
+            write_token_shard(
+                os.path.join(data_dir, f"edufineweb_{split}_{i:06d}.npy"), toks
+            )

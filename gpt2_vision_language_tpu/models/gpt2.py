@@ -293,6 +293,116 @@ def cross_entropy(logits, targets, *, mask=None):
 
 
 # ---------------------------------------------------------------------------
+# KV-cached decode path
+# ---------------------------------------------------------------------------
+# The reference has NO KV cache — generation re-forwards the whole growing
+# sequence per token (train_gpt2.py:440-449; gpt2_linear/data.py:111-127).
+# This cached path is our headline inference improvement (BASELINE north
+# star). Caches are (L, B, H, maxT, hs) pytrees threaded through the same
+# `lax.scan` over stacked layers as training.
+
+
+def init_cache(cfg: GPTConfig, batch_size: int, max_len: int, dtype=jnp.bfloat16):
+    shape = (cfg.n_layer, batch_size, cfg.n_head, max_len, cfg.head_dim)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def _cached_sdpa(q, k_cache, v_cache, slot, policy: Policy):
+    """q rows i (at absolute positions slot+i) attend to cache[j] for
+    j <= slot+i. Static maxT shapes; invalid slots masked."""
+    out_dtype = q.dtype
+    head_dim = q.shape[-1]
+    scale = 1.0 / (head_dim**0.5)
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk",
+        policy.cast_compute(q),
+        policy.cast_compute(k_cache),
+        preferred_element_type=jnp.float32,
+    )
+    scores = scores * scale
+    tq = q.shape[2]
+    maxt = k_cache.shape[2]
+    qpos = slot + jnp.arange(tq)[:, None]
+    kpos = jnp.arange(maxt)[None, :]
+    mask = kpos <= qpos  # causal within the written region; future slots are
+    # all zeros but also all masked because kpos > slot+i there
+    scores = jnp.where(mask[None, None], scores, -jnp.inf)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd",
+        probs.astype(v_cache.dtype),
+        v_cache,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(out_dtype)
+
+
+def _self_attention_cached(p, x, k_cache, v_cache, slot, cfg: GPTConfig, policy):
+    qkv = linear(x, p["wqkv"], p["bqkv"], policy=policy)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q, k, v = (_split_heads(t, cfg.n_head) for t in (q, k, v))
+    k_cache = jax.lax.dynamic_update_slice(
+        k_cache, k.astype(k_cache.dtype), (0, 0, slot, 0)
+    )
+    v_cache = jax.lax.dynamic_update_slice(
+        v_cache, v.astype(v_cache.dtype), (0, 0, slot, 0)
+    )
+    y = _cached_sdpa(q, k_cache, v_cache, slot, policy)
+    return linear(_merge_heads(y), p["wo"], p["bo"], policy=policy), k_cache, v_cache
+
+
+def forward_cached(
+    params,
+    embeds,
+    cfg: GPTConfig,
+    cache,
+    slot,
+    *,
+    z=None,
+    policy: Policy = DEFAULT_POLICY,
+):
+    """Run blocks over already-embedded inputs, reading/writing the KV cache
+    at [slot, slot+T). Returns (logits, new_cache).
+
+    Positional embeddings are the CALLER's responsibility (the caption
+    prefix gets none — gpt2_linear/model.py:197-200 — while text restarts
+    at position 0), which this split makes explicit.
+    """
+
+    def body(x, xs):
+        lp, kc, vc = xs
+        if cfg.cross_attention and z is not None:
+            xa = cross_attention(
+                lp["xattn"],
+                layer_norm(x, lp["lnx"]["scale"], lp["lnx"]["bias"]),
+                z,
+                cfg,
+                policy=policy,
+            )
+            x = x + jnp.tanh(lp["gate"]) * xa
+        att, kc, vc = _self_attention_cached(
+            lp["attn"],
+            layer_norm(x, lp["ln1"]["scale"], lp["ln1"]["bias"]),
+            kc,
+            vc,
+            slot,
+            cfg,
+            policy,
+        )
+        x = x + att
+        x = x + mlp(
+            lp["mlp"], layer_norm(x, lp["ln2"]["scale"], lp["ln2"]["bias"]), policy=policy
+        )
+        return x, (kc, vc)
+
+    x, (ks, vs) = jax.lax.scan(
+        body, embeds, (params["blocks"], cache["k"], cache["v"])
+    )
+    logits = lm_head(params, x, cfg, policy=policy)
+    return logits, {"k": ks, "v": vs}
+
+
+# ---------------------------------------------------------------------------
 # Trainability masks (freezing)
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,105 @@
+"""Tokenizer + FineWeb shard loader tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+from gpt2_vision_language_tpu.data.tokenizer import (
+    ByteFallbackTokenizer,
+    LocalBpeTokenizer,
+    get_tokenizer,
+)
+from gpt2_vision_language_tpu.data.fineweb import (
+    TokenShardLoader,
+    write_synthetic_corpus,
+    write_token_shard,
+)
+
+
+def test_byte_fallback_roundtrip():
+    tok = ByteFallbackTokenizer()
+    s = "Hello, I'm a language model, éàç 你好"
+    assert tok.decode(tok.encode(s)) == s
+    assert tok.eot_token == 50256
+    assert tok.n_vocab == 50257
+
+
+def test_get_tokenizer_offline():
+    tok = get_tokenizer()
+    ids = tok.encode("Hello world")
+    assert all(0 <= i < 50257 for i in ids)
+    assert "Hello world" in tok.decode(ids)
+
+
+def test_local_bpe(tmp_path):
+    """Miniature encoder/merges exercising the BPE algorithm end to end."""
+    import json
+
+    # byte-unicode table for ascii letters used below
+    b2u = LocalBpeTokenizer._bytes_to_unicode()
+    enc = {}
+    for tok in ["h", "e", "l", "o", "he", "ll", "hell", "hello", " ", "w",
+                "r", "d", "wo", "lo", "<|endoftext|>"]:
+        mapped = "".join(b2u[b] for b in tok.encode()) if tok != "<|endoftext|>" else tok
+        enc[mapped] = len(enc)
+    merges = ["#version 0.2", "h e", "l l", "he ll", "hell o", "w o", "l o"]
+    ep = tmp_path / "encoder.json"
+    vp = tmp_path / "vocab.bpe"
+    ep.write_text(json.dumps(enc))
+    vp.write_text("\n".join(merges))
+    tok = LocalBpeTokenizer(str(ep), str(vp))
+    ids = tok.encode("hello")
+    assert len(ids) == 1  # fully merged
+    assert tok.decode(ids) == "hello"
+
+
+def test_shard_loader_parity_semantics(tmp_path):
+    """Striding/wrapping must match DataLoaderLite (train_gpt2.py:154-187)."""
+    d = str(tmp_path)
+    toks0 = np.arange(0, 1000, dtype=np.uint16)
+    toks1 = np.arange(1000, 2000, dtype=np.uint16)
+    write_token_shard(os.path.join(d, "x_train_0"), toks0)
+    write_token_shard(os.path.join(d, "x_train_1"), toks1)
+
+    B, T = 2, 10
+    loader = TokenShardLoader(B, T, rank=0, world_size=2, split="train", data_dir=d)
+    x, y = loader.next_batch()
+    np.testing.assert_array_equal(x.ravel(), np.arange(0, 20))
+    np.testing.assert_array_equal(y.ravel(), np.arange(1, 21))
+
+    r1 = TokenShardLoader(B, T, rank=1, world_size=2, split="train", data_dir=d)
+    x1, _ = r1.next_batch()
+    np.testing.assert_array_equal(x1.ravel(), np.arange(20, 40))
+
+    # second batch advances by B*T*world = 40
+    x, _ = loader.next_batch()
+    np.testing.assert_array_equal(x.ravel(), np.arange(40, 60))
+
+    # wrap: shard 0 holds 1000 tokens; stride 40/step, wrap when pos+41 > 1000,
+    # i.e. after the batch at pos=920 (the 24th overall). The 25th batch reads
+    # shard 1 from pos = B*T*rank = 0.
+    for _ in range(23):
+        x, _ = loader.next_batch()
+    assert x.ravel()[0] == 1000  # first token of shard 1
+
+
+def test_accum_batch(tmp_path):
+    d = str(tmp_path)
+    write_token_shard(os.path.join(d, "t_train_0"), np.arange(5000, dtype=np.uint16))
+    loader = TokenShardLoader(2, 8, split="train", data_dir=d)
+    xs, ys = loader.next_accum_batch(3)
+    assert xs.shape == (3, 2, 8)
+    l2 = TokenShardLoader(2, 8, split="train", data_dir=d)
+    for i in range(3):
+        x, y = l2.next_batch()
+        np.testing.assert_array_equal(xs[i], x)
+        np.testing.assert_array_equal(ys[i], y)
+
+
+def test_synthetic_corpus(tmp_path):
+    write_synthetic_corpus(str(tmp_path), shard_tokens=4096, n_train=2, n_val=1)
+    loader = TokenShardLoader(4, 32, split="val", data_dir=str(tmp_path))
+    x, y = loader.next_batch()
+    assert x.shape == (4, 32)
+    assert x.max() < 50257
