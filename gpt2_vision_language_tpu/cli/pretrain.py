@@ -1,0 +1,57 @@
+"""CLI: GPT-2 124M FineWeb-Edu pretraining (reference: source/gpt2/train_gpt2.py).
+
+    python -m gpt2_vision_language_tpu.cli.pretrain [--steps N] [--synthetic]
+
+Env: FW_OUT_DIR (token shards), LOG_DIR, HELLASWAG_DIR, GPT2_BPE_DIR.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import tempfile
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--steps", type=int, default=None, help="override max_steps")
+    p.add_argument("--micro-batch", type=int, default=None)
+    p.add_argument("--seq-len", type=int, default=None)
+    p.add_argument("--total-batch", type=int, default=None)
+    p.add_argument("--no-hellaswag", action="store_true")
+    p.add_argument(
+        "--synthetic",
+        action="store_true",
+        help="generate a synthetic token corpus in a temp dir (smoke runs)",
+    )
+    p.add_argument("--devices", type=int, default=None)
+    args = p.parse_args(argv)
+
+    from ..core.config import PretrainConfig
+
+    cfg = PretrainConfig()
+    updates = {}
+    if args.micro_batch:
+        updates["micro_batch_size"] = args.micro_batch
+    if args.seq_len:
+        updates["seq_len"] = args.seq_len
+    if args.total_batch:
+        updates["total_batch_size"] = args.total_batch
+    if args.no_hellaswag:
+        updates["run_hellaswag"] = False
+    if args.synthetic:
+        from ..data.fineweb import write_synthetic_corpus
+
+        d = tempfile.mkdtemp(prefix="fineweb_synthetic_")
+        write_synthetic_corpus(d)
+        updates["data_dir"] = d
+    cfg = dataclasses.replace(cfg, **updates)
+
+    from ..train.pretrain import run_pretrain
+
+    run_pretrain(cfg, max_steps_override=args.steps, num_devices=args.devices)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,159 @@
+"""HellaSwag multiple-choice evaluation.
+
+The reference imports `render_example, iterate_examples` from a hellaswag
+module that is NOT in its repo (train_gpt2.py:10; SURVEY.md §6 defect c) —
+it is Karpathy build-nanogpt's downloader/renderer. This module provides the
+equivalent, reading a local jsonl (`$HELLASWAG_DIR/hellaswag_{split}.jsonl`,
+no network), and a TPU-native scorer:
+
+  * rendering: context tokens + " " + ending tokens per candidate, bool mask
+    over the ending region, 4 rows padded to a common length;
+  * scoring: per-token CE on shifted logits, masked mean over the completion,
+    argmin over the 4 candidates (reference get_most_likely_row,
+    train_gpt2.py:190-202);
+  * execution: examples are padded into fixed-size batches and scored by ONE
+    jitted function (static shapes) instead of a Python loop of one
+    4-row forward per example (train_gpt2.py:398-409);
+  * multi-host sharding round-robin by rank with summed counts
+    (train_gpt2.py:399,410-416) — here a simple index stride + psum-free
+    host-side sum since each process sees its own slice.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import GPTConfig
+from ..core.precision import Policy, DEFAULT_POLICY
+from ..models import gpt2
+
+
+def iterate_examples(split: str, data_dir: Optional[str] = None) -> Iterator[dict]:
+    data_dir = data_dir or os.environ.get("HELLASWAG_DIR", "hellaswag")
+    path = os.path.join(data_dir, f"hellaswag_{split}.jsonl")
+    with open(path) as f:
+        for line in f:
+            if line.strip():
+                yield json.loads(line)
+
+
+def render_example(example: dict, tokenizer):
+    """-> (tokens (4, L) int32, mask (4, L) bool, label int). Rows padded to
+    the longest candidate; pad tokens are masked out."""
+    ctx = tokenizer.encode(example["ctx"])
+    rows, masks = [], []
+    for end in example["endings"]:
+        end_tok = tokenizer.encode(" " + end)
+        rows.append(ctx + end_tok)
+        masks.append([0] * len(ctx) + [1] * len(end_tok))
+    maxlen = max(len(r) for r in rows)
+    tokens = np.zeros((4, maxlen), np.int32)
+    mask = np.zeros((4, maxlen), bool)
+    for i, (r, m) in enumerate(zip(rows, masks)):
+        tokens[i, : len(r)] = r
+        mask[i, : len(m)] = m
+    return tokens, mask, int(example["label"])
+
+
+def most_likely_row(tokens, mask, logits):
+    """Masked-mean shifted CE argmin (train_gpt2.py:190-202). tokens (N, L),
+    mask (N, L) over completion tokens, logits (N, L, V)."""
+    shift_logits = logits[:, :-1, :].astype(jnp.float32)
+    shift_tokens = tokens[:, 1:]
+    logz = jax.scipy.special.logsumexp(shift_logits, axis=-1)
+    gold = jnp.take_along_axis(
+        shift_logits, shift_tokens[..., None], axis=-1
+    ).squeeze(-1)
+    losses = logz - gold
+    shift_mask = mask[:, 1:]
+    avg = jnp.sum(losses * shift_mask, axis=-1) / jnp.maximum(
+        jnp.sum(shift_mask, axis=-1), 1
+    )
+    return jnp.argmin(avg)
+
+
+class HellaSwagEvaluator:
+    """Batched jitted evaluation over fixed (batch, 4, L) shapes."""
+
+    def __init__(
+        self,
+        cfg: GPTConfig,
+        *,
+        policy: Policy = DEFAULT_POLICY,
+        max_len: int = 160,
+        batch_examples: int = 8,
+    ):
+        self.cfg = cfg
+        self.policy = policy
+        self.max_len = max_len
+        self.batch = batch_examples
+        self._predict = jax.jit(self._predict_impl)
+
+    def _predict_impl(self, params, tokens, mask):
+        """tokens (N, 4, L) -> predicted candidate per example (N,)."""
+        n = tokens.shape[0]
+        flat = tokens.reshape(n * 4, -1)
+        logits, _ = gpt2.apply(params, flat, self.cfg, policy=self.policy)
+        logits = logits.reshape(n, 4, flat.shape[1], -1)
+
+        def per_example(tok4, m4, lg4):
+            return most_likely_row(tok4, m4, lg4)
+
+        return jax.vmap(per_example)(tokens, mask, logits)
+
+    def evaluate(
+        self,
+        params,
+        tokenizer,
+        *,
+        split: str = "val",
+        data_dir: Optional[str] = None,
+        rank: int = 0,
+        world_size: int = 1,
+        limit: Optional[int] = None,
+    ):
+        """-> (num_correct, num_total) on this rank's shard of examples."""
+        tok_buf, mask_buf, labels = [], [], []
+        correct = total = 0
+
+        def flush():
+            nonlocal correct, total
+            if not tok_buf:
+                return
+            n = len(tok_buf)
+            pad_n = self.batch - n
+            tokens = np.zeros((self.batch, 4, self.max_len), np.int32)
+            mask = np.zeros((self.batch, 4, self.max_len), bool)
+            for i, (t, m) in enumerate(zip(tok_buf, mask_buf)):
+                L = min(t.shape[1], self.max_len)
+                tokens[i, :, :L] = t[:, :L]
+                mask[i, :, :L] = m[:, :L]
+            preds = np.asarray(self._predict(params, tokens, mask))
+            for i in range(n):
+                total += 1
+                correct += int(preds[i] == labels[i])
+            del pad_n
+            tok_buf.clear()
+            mask_buf.clear()
+            labels.clear()
+
+        for i, ex in enumerate(iterate_examples(split, data_dir)):
+            if limit is not None and i >= limit:
+                break
+            if i % world_size != rank:
+                continue
+            t, m, label = render_example(ex, tokenizer)
+            tok_buf.append(t)
+            mask_buf.append(m)
+            labels.append(label)
+            if len(tok_buf) == self.batch:
+                flush()
+        flush()
+        return correct, total

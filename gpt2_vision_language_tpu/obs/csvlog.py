@@ -1,0 +1,132 @@
+"""Metrics logging with the reference-compatible CSV schema.
+
+Schema and artifacts match train_gpt2.py:289-305,484-492,509-517 so existing
+analysis notebooks keep working: `train_{ts}.csv` with columns
+[time, phase, step, loss, lr, grad_norm, dt_ms, tok_per_s, hellaswag_acc],
+phases train/val/hella/cider; `log.txt`; end-of-run XLSX export. Plus
+jax.profiler trace hooks the reference lacks (SURVEY.md §5 tracing)."""
+
+from __future__ import annotations
+
+import csv
+import os
+import time
+from typing import Optional
+
+
+class MetricsLogger:
+    SCHEMA = [
+        "time",
+        "phase",
+        "step",
+        "loss",
+        "lr",
+        "grad_norm",
+        "dt_ms",
+        "tok_per_s",
+        "hellaswag_acc",
+    ]
+
+    def __init__(self, log_dir: Optional[str] = None, *, is_master: bool = True):
+        self.is_master = is_master
+        self.log_dir = log_dir or os.environ.get("LOG_DIR", "log")
+        self.ts = time.strftime("%Y%m%d_%H%M%S")
+        self.csv_path = os.path.join(self.log_dir, f"train_{self.ts}.csv")
+        self.txt_path = os.path.join(self.log_dir, "log.txt")
+        if not is_master:
+            return
+        os.makedirs(self.log_dir, exist_ok=True)
+        if not os.path.exists(self.txt_path):
+            open(self.txt_path, "w").close()
+        if not os.path.exists(self.csv_path):
+            with open(self.csv_path, "w", newline="") as f:
+                csv.writer(f).writerow(self.SCHEMA)
+
+    def _row(self, phase, step, **kw):
+        if not self.is_master:
+            return
+        row = [
+            time.strftime("%Y-%m-%d %H:%M:%S"),
+            phase,
+            step,
+            kw.get("loss", ""),
+            kw.get("lr", ""),
+            kw.get("grad_norm", ""),
+            kw.get("dt_ms", ""),
+            kw.get("tok_per_s", ""),
+            kw.get("hellaswag_acc", ""),
+        ]
+        with open(self.csv_path, "a", newline="") as f:
+            csv.writer(f).writerow(row)
+
+    def train(self, step, loss, lr, grad_norm, dt_ms, tok_per_s):
+        if self.is_master:
+            print(
+                f"step {step:5d} | loss: {loss:.6f} | lr {lr:.4e} | "
+                f"norm: {grad_norm:.4f} | dt: {dt_ms:.2f}ms | "
+                f"tok/sec: {tok_per_s:.2f}"
+            )
+        self._row(
+            "train",
+            step,
+            loss=f"{loss:.6f}",
+            lr=f"{lr:.6e}",
+            grad_norm=f"{grad_norm:.4f}",
+            dt_ms=f"{dt_ms:.2f}",
+            tok_per_s=f"{tok_per_s:.2f}",
+        )
+
+    def val(self, step, loss):
+        if self.is_master:
+            print(f"validation loss: {loss:.4f}")
+        self._row("val", step, loss=f"{loss:.6f}")
+
+    def hellaswag(self, step, acc, correct=None, total=None):
+        if self.is_master:
+            if correct is not None:
+                print(f"HellaSwag accuracy: {correct}/{total}={acc:.4f}")
+            with open(self.txt_path, "a") as f:
+                f.write(f"{step} hella {acc:.4f}\n")
+        self._row("hella", step, hellaswag_acc=f"{acc:.4f}")
+
+    def cider(self, step, score):
+        if self.is_master:
+            print(f"[CIDEr] step {step}: {score:.4f}")
+        self._row("cider", step, hellaswag_acc=f"{score:.6f}")
+
+    def export_xlsx(self):
+        """Best-effort CSV->XLSX (train_gpt2.py:509-517)."""
+        if not self.is_master:
+            return
+        try:
+            import pandas as pd
+
+            xlsx = self.csv_path.replace(".csv", ".xlsx")
+            df = pd.read_csv(self.csv_path)
+            with pd.ExcelWriter(xlsx, engine="openpyxl") as w:
+                df.to_excel(w, index=False, sheet_name="metrics")
+            print(f"[excel] written: {xlsx}")
+        except Exception as e:  # noqa: BLE001 — parity: failure is non-fatal
+            print(f"failed to convert to xlsx: {e}")
+
+
+class ProfilerHook:
+    """jax.profiler trace around a step window: set PROFILE_DIR to enable."""
+
+    def __init__(self, start_step: int = 10, num_steps: int = 5):
+        self.dir = os.environ.get("PROFILE_DIR")
+        self.start = start_step
+        self.stop = start_step + num_steps
+        self._active = False
+
+    def step(self, step: int):
+        if not self.dir:
+            return
+        import jax
+
+        if step == self.start and not self._active:
+            jax.profiler.start_trace(self.dir)
+            self._active = True
+        elif step == self.stop and self._active:
+            jax.profiler.stop_trace()
+            self._active = False

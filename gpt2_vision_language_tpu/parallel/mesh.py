@@ -47,8 +47,9 @@ def make_mesh(
     num_devices: Optional[int] = None,
     axis_names: Sequence[str] = ("data",),
     shape: Optional[Sequence[int]] = None,
+    devices: Optional[Sequence] = None,
 ) -> Mesh:
-    devices = jax.devices()
+    devices = list(devices) if devices is not None else jax.devices()
     if num_devices is not None:
         devices = devices[:num_devices]
     n = len(devices)

@@ -1,0 +1,185 @@
+"""FineWeb-Edu GPT-2 pretraining workload.
+
+The TPU-native re-design of the reference's train_gpt2.py script
+(:205-523): same cadences (val every 250, HellaSwag every 250, samples
+every 250, rolling ckpt every 2500, auto-resume), same CSV schema, same
+hyperparameters via PretrainConfig — but the step itself is one jitted
+program (scan grad accumulation + AdamW + LR schedule), data parallelism is
+a sharded batch axis instead of DDP processes, and sampling uses the
+KV-cached decoder.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import PretrainConfig
+from ..core.precision import Policy, DEFAULT_POLICY
+from ..models import gpt2
+from ..data.fineweb import TokenShardLoader
+from ..data.tokenizer import get_tokenizer
+from ..eval.hellaswag import HellaSwagEvaluator
+from ..infer.decode import Decoder
+from ..infer.sampling import sample_top_k
+from ..obs.csvlog import MetricsLogger, ProfilerHook
+from ..ckpt.checkpoint import CheckpointManager
+from ..parallel.mesh import (
+    make_mesh,
+    shard_batch,
+    is_master,
+    maybe_init_distributed,
+)
+from .optimizer import adamw_init
+from .step import make_train_step, make_eval_step
+
+
+def run_pretrain(
+    cfg: PretrainConfig,
+    *,
+    policy: Policy = DEFAULT_POLICY,
+    max_steps_override: Optional[int] = None,
+    remat: bool = True,
+    num_devices: Optional[int] = None,
+) -> dict:
+    """Run the pretrain loop. Returns final params + summary metrics."""
+    maybe_init_distributed()
+    mesh = make_mesh(num_devices)
+    world = mesh.devices.size
+    master = is_master()
+    accum = cfg.grad_accum_steps(world)
+    if master:
+        print(f"total desired batch size: {cfg.total_batch_size}")
+        print(f"=> calculated gradient accumulation steps: {accum}")
+        print(f"mesh: {mesh}")
+
+    tokenizer = get_tokenizer()
+    train_loader = TokenShardLoader(
+        cfg.micro_batch_size * world, cfg.seq_len, split="train", data_dir=cfg.data_dir
+    )
+    val_loader = TokenShardLoader(
+        cfg.micro_batch_size * world, cfg.seq_len, split="val", data_dir=cfg.data_dir
+    )
+
+    model_cfg = cfg.model
+
+    def loss_fn(params, micro):
+        _, loss = gpt2.apply(
+            params,
+            micro["x"],
+            model_cfg,
+            targets=micro["y"],
+            policy=policy,
+            remat=remat,
+        )
+        return loss
+
+    params = gpt2.init(jax.random.PRNGKey(cfg.seed), model_cfg)
+    opt_state = adamw_init(params)
+    if master:
+        n = gpt2.param_count(params)
+        print(f"[init] parameters: {n:,}")
+
+    train_step = make_train_step(
+        loss_fn,
+        cfg.optimizer,
+        cfg.schedule,
+        decay_mask=gpt2.decay_mask(params),
+    )
+    eval_step = make_eval_step(loss_fn)
+
+    log = MetricsLogger(cfg.log_dir, is_master=master)
+    prof = ProfilerHook()
+    ckpt_dir = os.path.join(log.log_dir, "ckpts")
+    manager = CheckpointManager(ckpt_dir, save_every=cfg.save_every)
+    hella = HellaSwagEvaluator(model_cfg, policy=policy)
+    decoder = Decoder(model_cfg, policy=policy, sample_fn=sample_top_k)
+
+    start_step = 0
+    resumed = manager.maybe_resume()
+    if resumed is not None:
+        tree, meta = resumed
+        params = jax.tree.map(jnp.asarray, tree["params"])
+        opt_state = jax.tree.map(jnp.asarray, tree["opt_state"])
+        opt_state["step"] = jnp.asarray(opt_state["step"]).reshape(())
+        start_step = int(meta.get("step", 0)) + 1
+        if master:
+            print(f"[ckpt] resumed from {manager.last_path} at step {start_step}")
+
+    max_steps = max_steps_override or cfg.schedule.max_steps
+    hellaswag_dir_ok = os.path.isdir(
+        os.environ.get("HELLASWAG_DIR", "hellaswag")
+    )
+    val_loss = float("nan")
+    tokens_per_step = cfg.micro_batch_size * cfg.seq_len * accum * world
+
+    for step in range(start_step, max_steps):
+        t0 = time.time()
+        last_step = step == max_steps - 1
+
+        if step % cfg.val_every == 0 or last_step:
+            val_loader.reset()
+            vx, vy = val_loader.next_accum_batch(cfg.val_steps)
+            vbatch = shard_batch(
+                mesh,
+                {"x": jnp.asarray(vx), "y": jnp.asarray(vy)},
+                leading_accum_axis=True,
+            )
+            val_loss = float(eval_step(params, vbatch))
+            log.val(step, val_loss)
+            if master:
+                manager.save_step(
+                    step, params, opt_state, val_loss, last_step=last_step
+                )
+
+        if (
+            cfg.run_hellaswag
+            and hellaswag_dir_ok
+            and (step % cfg.hellaswag_every == 0 or last_step)
+        ):
+            correct, total = hella.evaluate(params, tokenizer)
+            if total:
+                log.hellaswag(step, correct / total, correct, total)
+
+        if ((step > 0 and step % cfg.sample_every == 0) or last_step) and master:
+            prompt = tokenizer.encode("Hello, I'm a language model,")
+            ids = jnp.asarray([prompt] * 4, jnp.int32)
+            toks, _ = decoder.generate(
+                params, ids, 32 - len(prompt), jax.random.PRNGKey(42)
+            )
+            for i in range(4):
+                text = tokenizer.decode(prompt + np.asarray(toks[i]).tolist())
+                print(f"sample {i}: {text}")
+
+        xs, ys = train_loader.next_accum_batch(accum)
+        xs = xs.reshape(accum, world * cfg.micro_batch_size, cfg.seq_len)
+        ys = ys.reshape(accum, world * cfg.micro_batch_size, cfg.seq_len)
+        batch = shard_batch(
+            mesh,
+            {"x": jnp.asarray(xs), "y": jnp.asarray(ys)},
+            leading_accum_axis=True,
+        )
+        params, opt_state, metrics = train_step(
+            params, opt_state, batch, jnp.int32(step)
+        )
+        loss = float(metrics["loss"])  # syncs, like cuda.synchronize timing
+        dt = time.time() - t0
+        log.train(
+            step,
+            loss,
+            float(metrics["lr"]),
+            float(metrics["grad_norm"]),
+            dt * 1000,
+            tokens_per_step / dt,
+        )
+        prof.step(step)
+
+    if master:
+        manager.save_final(max_steps - 1, params, opt_state, val_loss)
+        log.export_xlsx()
+    return {"params": params, "opt_state": opt_state, "val_loss": val_loss}
