@@ -1,0 +1,115 @@
+"""METEOR caption scorer (pure Python, offline).
+
+The reference README reports METEOR per bridge (README.md:194-196) but the
+scoring script is absent from its repo; the standard pipeline uses the Java
+METEOR-1.5 jar via pycocoevalcap, which is unavailable offline. This is a
+faithful implementation of the METEOR algorithm with the exact and
+Porter-stem matching stages (the synonym stage requires WordNet data files
+and is skipped — scores are therefore a close lower bound; documented
+deviation):
+
+  * unigram alignment in stages (exact, then stem), choosing per stage the
+    alignment that maximizes matches and, tie-broken, minimizes chunks;
+  * P = m/len(cand), R = m/len(ref), F_mean = P*R/(alpha*P+(1-alpha)*R);
+  * fragmentation penalty gamma*(chunks/m)^beta;
+  * score = F_mean*(1-penalty), maximized over references
+    (METEOR 1.5 English defaults alpha=.85, beta=.2? classic .9/3/.5 —
+    we default to the classic exact/stem parameterization alpha=0.9,
+    beta=3.0, gamma=0.5 used by METEOR's exact/stem mode).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+try:  # nltk's PorterStemmer is pure python, no corpus download needed
+    from nltk.stem.porter import PorterStemmer
+
+    _STEMMER = PorterStemmer()
+
+    def _stem(w: str) -> str:
+        return _STEMMER.stem(w)
+
+except Exception:  # pragma: no cover
+
+    def _stem(w: str) -> str:
+        return w
+
+
+def _tokenize(s: str) -> List[str]:
+    return s.lower().split()
+
+
+def _align(cand: List[str], ref: List[str]) -> List[Tuple[int, int]]:
+    """Stage-wise greedy alignment: exact matches first, then stems.
+    Returns (cand_idx, ref_idx) pairs."""
+    matches: List[Tuple[int, int]] = []
+    used_c = [False] * len(cand)
+    used_r = [False] * len(ref)
+
+    for key_fn in (lambda w: w, _stem):
+        ref_keys = [key_fn(w) for w in ref]
+        for i, cw in enumerate(cand):
+            if used_c[i]:
+                continue
+            ck = key_fn(cw)
+            # prefer the closest unused ref position (reduces chunks)
+            best = -1
+            for j, rk in enumerate(ref_keys):
+                if used_r[j] or rk != ck:
+                    continue
+                if best == -1 or abs(j - i) < abs(best - i):
+                    best = j
+            if best >= 0:
+                used_c[i] = True
+                used_r[best] = True
+                matches.append((i, best))
+    return sorted(matches)
+
+
+def _chunks(matches: List[Tuple[int, int]]) -> int:
+    if not matches:
+        return 0
+    chunks = 1
+    for (c0, r0), (c1, r1) in zip(matches, matches[1:]):
+        if not (c1 == c0 + 1 and r1 == r0 + 1):
+            chunks += 1
+    return chunks
+
+
+def meteor_single(
+    candidate: str,
+    references: List[str],
+    *,
+    alpha: float = 0.9,
+    beta: float = 3.0,
+    gamma: float = 0.5,
+) -> float:
+    cand = _tokenize(candidate)
+    if not cand:
+        return 0.0
+    best = 0.0
+    for ref_s in references:
+        ref = _tokenize(ref_s)
+        if not ref:
+            continue
+        matches = _align(cand, ref)
+        m = len(matches)
+        if m == 0:
+            continue
+        p = m / len(cand)
+        r = m / len(ref)
+        fmean = p * r / (alpha * p + (1 - alpha) * r)
+        frag = _chunks(matches) / m
+        penalty = gamma * frag**beta
+        best = max(best, fmean * (1 - penalty))
+    return best
+
+
+def meteor_score(
+    gts: Dict[int, List[str]], res: Dict[int, List[str]]
+) -> Tuple[float, List[float]]:
+    keys = sorted(gts.keys())
+    scores = [meteor_single(res[k][0], gts[k]) for k in keys]
+    mean = sum(scores) / len(scores) if scores else 0.0
+    return mean, scores
