@@ -79,6 +79,7 @@ class CLIPConfig:
 
 CLIP_VIT_L14 = CLIPConfig()
 CLIP_VIT_B16 = CLIPConfig(patch_size=16, width=768, layers=12, heads=12)
+CLIP_TINY = CLIPConfig(image_size=32, patch_size=16, width=32, layers=2, heads=2)  # tests
 
 
 @dataclass(frozen=True)
