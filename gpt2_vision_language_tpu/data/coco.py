@@ -161,6 +161,77 @@ class CocoBatcher:
         outs = [self.next_batch() for _ in range(k)]
         return tuple(np.stack([o[i] for o in outs]) for i in range(4))
 
+    # -- index mode (device-resident feature bank) ------------------------
+
+    def next_index_batch(self):
+        """(x, y, mask, idx) — features are looked up ON DEVICE in a
+        preloaded bank; only token ids cross the host->device boundary."""
+        if self._pos + self.B > len(self._order):
+            if self.drop_last or self._pos >= len(self._order):
+                self._new_epoch()
+        idxs = self._order[self._pos : self._pos + self.B]
+        self._pos += len(idxs)
+        xs, ys, ms = [], [], []
+        for i in idxs:
+            caps = self.ds.coco[int(i)]
+            text = self.ds.rng.choice(caps)
+            x, y, m = encode_caption(text, self.ds.tokenizer, self.ds.max_len)
+            xs.append(x)
+            ys.append(y)
+            ms.append(m)
+        return (
+            np.stack(xs),
+            np.stack(ys),
+            np.stack(ms),
+            np.asarray(idxs, np.int32),
+        )
+
+    def next_accum_index_batch(self, k: int):
+        outs = [self.next_index_batch() for _ in range(k)]
+        return tuple(np.stack([o[i] for o in outs]) for i in range(4))
+
+
+def build_pooled_feature_bank(
+    dataset: CocoClipTokensDataset,
+    pool_fn,
+    *,
+    chunk: int = 256,
+    dtype=None,
+):
+    """Stream every shard through `pool_fn` ((n, L, D) -> (n, 33, D)) once
+    and return the full pooled bank as one device array.
+
+    Rationale (measured): the reference streams the FULL 197/257-token CLIP
+    features per sample every step — ~300 KB/sample, gigabytes per
+    optimizer step across the host->device link. Pooled 33-token features
+    for all of COCO train fit comfortably in HBM (118k x 33 x 768 bf16 ~=
+    6 GB), so we pay the transfer once and gather rows on device per step.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    # group indices by shard to read each shard exactly once, in order
+    per_shard = {}
+    for i, e in enumerate(dataset.index):
+        per_shard.setdefault(e["shard"], []).append((i, e["row"]))
+    out_rows = [None] * len(dataset.index)
+    chunks = []
+    order = []
+    for shard, entries in sorted(per_shard.items()):
+        arr = _load_shard(os.path.join(dataset.tokens_dir, shard))
+        rows = np.asarray([r for _, r in entries])
+        data = np.asarray(arr, np.float32)[rows]
+        for s in range(0, len(data), chunk):
+            part = data[s : s + chunk]
+            pooled = pool_fn(jnp.asarray(part))
+            chunks.append(pooled if dtype is None else pooled.astype(dtype))
+            order.extend(i for i, _ in entries[s : s + chunk])
+    bank = jnp.concatenate(chunks, axis=0)
+    # reorder to dataset index order
+    inv = np.empty(len(order), np.int32)
+    inv[np.asarray(order)] = np.arange(len(order))
+    return bank[jnp.asarray(inv)]
+
 
 # ---------------------------------------------------------------------------
 # Synthetic dataset + CLIP-feature shard writer

@@ -40,7 +40,12 @@ def load_tokens(path: str) -> np.ndarray:
 
 
 class TokenShardLoader:
-    """Per-rank strided reader over token shards (DataLoaderLite parity)."""
+    """Per-rank strided reader over token shards (DataLoaderLite parity).
+
+    Uses the native C++ mmap/prefetch reader (csrc/shard_reader.cpp) when
+    `make -C csrc` has been run — each read also schedules background
+    readahead of the next window, and shard switches are pre-warmed — with
+    a transparent numpy-mmap fallback."""
 
     def __init__(
         self,
@@ -51,6 +56,7 @@ class TokenShardLoader:
         world_size: int = 1,
         split: str = "train",
         data_dir: Optional[str] = None,
+        use_native: Optional[bool] = None,
     ):
         self.B = batch_size
         self.T = seq_len
@@ -58,23 +64,41 @@ class TokenShardLoader:
         self.world = world_size
         data_dir = data_dir or os.environ.get("FW_OUT_DIR", "edu_fineweb10B")
         self.shards = list_shards(data_dir, split)
+        if use_native is None:
+            from .native import native_available
+
+            use_native = native_available()
+        self.use_native = use_native
         self.reset()
+
+    def _open(self, path: str):
+        if self.use_native:
+            from .native import NativeShardReader
+
+            return NativeShardReader(path)
+        return load_tokens(path)
 
     def reset(self) -> None:
         self.current_shard = 0
-        self.tokens = load_tokens(self.shards[0])
+        self.tokens = self._open(self.shards[0])
         self.pos = self.B * self.T * self.rank
 
     def _advance(self) -> None:
         self.pos += self.B * self.T * self.world
         if self.pos + (self.B * self.T * self.world + 1) > len(self.tokens):
             self.current_shard = (self.current_shard + 1) % len(self.shards)
-            self.tokens = load_tokens(self.shards[self.current_shard])
+            self.tokens = self._open(self.shards[self.current_shard])
             self.pos = self.B * self.T * self.rank
+        elif self.use_native:
+            # warm the next window off the critical path
+            self.tokens.prefetch(self.pos, self.B * self.T * self.world + 1)
 
     def next_batch(self) -> Tuple[np.ndarray, np.ndarray]:
         b, t = self.B, self.T
-        buf = np.asarray(self.tokens[self.pos : self.pos + b * t + 1], np.int32)
+        if self.use_native:
+            buf = self.tokens.read(self.pos, b * t + 1)
+        else:
+            buf = np.asarray(self.tokens[self.pos : self.pos + b * t + 1], np.int32)
         x = buf[:-1].reshape(b, t)
         y = buf[1:].reshape(b, t)
         self._advance()

@@ -44,6 +44,8 @@ def evaluate_captions(
     policy: Policy = DEFAULT_POLICY,
     seed: int = 0,
     compute_meteor: bool = False,
+    feature_bank=None,
+    decoder: Optional[Decoder] = None,
 ) -> Dict[str, object]:
     """-> {"cider": float, "meteor": float?, "captions": {idx: str}}.
 
@@ -51,7 +53,10 @@ def evaluate_captions(
     prefix; gpt2_cross-att/data.py eval path).
     """
     n_eval = min(max_samples, len(dataset))
-    decoder = Decoder(cfg, policy=policy, sample_fn=sample_top_p)
+    # A Decoder owns its jit caches — callers evaluating repeatedly MUST
+    # pass one in, or every eval recompiles the prefill/decode graphs
+    # (measured: ~3 min per eval on the remote-compile TPU tunnel).
+    decoder = decoder or Decoder(cfg, policy=policy, sample_fn=sample_top_p)
     prompt_ids = tokenizer.encode(prompt)
     rng = jax.random.PRNGKey(seed)
 
@@ -59,8 +64,11 @@ def evaluate_captions(
     res: Dict[int, List[str]] = {}
     for start in range(0, n_eval, batch_size):
         idxs = list(range(start, min(start + batch_size, n_eval)))
-        feats = np.stack([dataset.features(i) for i in idxs])
-        z = pool_clip_tokens_to_33(jnp.asarray(feats))
+        if feature_bank is not None:
+            z = feature_bank[jnp.asarray(idxs)]
+        else:
+            feats = np.stack([dataset.features(i) for i in idxs])
+            z = pool_clip_tokens_to_33(jnp.asarray(feats))
         ids = jnp.asarray([prompt_ids] * len(idxs), jnp.int32)
         rng, sub = jax.random.split(rng)
         if bridge_cfg is not None:

@@ -45,19 +45,24 @@ def make_train_step(
     """Build `step(params, opt_state, batch, step_idx) -> (params, opt_state,
     metrics)`.
 
-    loss_fn(params, micro_batch) -> scalar loss. `batch` is a pytree whose
-    leaves have a leading micro-step axis: (accum, B, ...). metrics carries
-    {loss, lr, grad_norm} matching the reference's per-step log line
+    loss_fn(params, micro_batch) -> scalar loss, or
+    loss_fn(params, micro_batch, extra) when the step is called with a 5th
+    argument `extra` — a pytree that is NOT scanned over (e.g. a
+    device-resident feature bank indexed by ids in the batch). metrics
+    carries {loss, lr, grad_norm} matching the reference's per-step log line
     (train_gpt2.py:485).
     """
 
-    def step(params, opt_state, batch, step_idx):
+    def step(params, opt_state, batch, step_idx, extra=None):
         lr = cosine_warmup_lr(step_idx, sched_cfg)
         p_for_grad = (
             freeze(params, trainable_mask) if trainable_mask is not None else params
         )
 
-        grad_fn = jax.value_and_grad(loss_fn)
+        if extra is None:
+            grad_fn = jax.value_and_grad(loss_fn)
+        else:
+            grad_fn = jax.value_and_grad(lambda p, m: loss_fn(p, m, extra))
 
         def body(carry, micro):
             gsum, lsum = carry
@@ -93,11 +98,17 @@ def make_train_step(
 
 def make_eval_step(loss_fn: Callable):
     """Jitted eval: mean loss over a (steps, B, ...) batch pytree
-    (val-loss loop, train_gpt2.py:341-350)."""
+    (val-loss loop, train_gpt2.py:341-350). Accepts the same optional
+    `extra` pytree as make_train_step."""
 
-    def step(params, batch):
+    def step(params, batch, extra=None):
+        if extra is None:
+            lf = loss_fn
+        else:
+            lf = lambda p, m: loss_fn(p, m, extra)
+
         def body(lsum, micro):
-            return lsum + loss_fn(params, micro), None
+            return lsum + lf(params, micro), None
 
         n = jax.tree.leaves(batch)[0].shape[0]
         lsum, _ = jax.lax.scan(body, jnp.float32(0.0), batch)
