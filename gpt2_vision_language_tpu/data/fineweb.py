@@ -112,6 +112,32 @@ class TokenShardLoader:
             xs[i], ys[i] = self.next_batch()
         return xs, ys
 
+    def next_accum_buf(self, k: int) -> np.ndarray:
+        """(k, B*T+1) uint16 raw buffers: x/y are derived ON DEVICE
+        (split_xy_on_device), quartering host->device bytes vs int32 x+y."""
+        out = np.empty((k, self.B * self.T + 1), np.uint16)
+        for i in range(k):
+            if self.use_native:
+                buf = self.tokens.read(self.pos, self.B * self.T + 1)
+            else:
+                buf = np.asarray(
+                    self.tokens[self.pos : self.pos + self.B * self.T + 1]
+                )
+            out[i] = buf.astype(np.uint16)
+            self._advance()
+        return out
+
+
+def split_xy_on_device(buf, b: int, t: int):
+    """(..., B*T+1) uint16 token buffer -> (x, y) int32 (B, T) on device,
+    reproducing x=buf[:-1], y=buf[1:] (train_gpt2.py:179-181)."""
+    import jax.numpy as jnp
+
+    buf = buf.astype(jnp.int32)
+    x = buf[..., :-1].reshape(buf.shape[:-1] + (b, t))
+    y = buf[..., 1:].reshape(buf.shape[:-1] + (b, t))
+    return x, y
+
 
 def write_token_shard(path: str, tokens: np.ndarray) -> None:
     """Write a uint16 token shard (the format DataLoaderLite consumes)."""

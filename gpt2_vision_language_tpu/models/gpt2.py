@@ -211,14 +211,21 @@ def embed_tokens(params, idx, cfg: GPTConfig, *, pos_offset: int = 0):
 
 
 def lm_head(params, x, cfg: GPTConfig, *, policy: Policy = DEFAULT_POLICY):
-    """Tied unembedding: logits = ln_f(x) @ wte.T (train_gpt2.py:96-97,120-121)."""
+    """Tied unembedding: logits = ln_f(x) @ wte.T (train_gpt2.py:96-97,120-121).
+
+    Returned in the COMPUTE dtype: the (B, T, 50304) logits tensor is the
+    largest activation in the model (3.3 GB in fp32 at B=16, T=1024) and
+    dominates HBM traffic through the loss; the MXU still accumulates in
+    fp32 and the CE loss upcasts to fp32 before logsumexp. Under the fp32
+    parity policy this is exact fp32.
+    """
     x = layer_norm(x, params["lnf"]["scale"], params["lnf"]["bias"])
     logits = jnp.dot(
         policy.cast_compute(x),
         policy.cast_compute(params["wte"]).T,
         preferred_element_type=policy.accum_dtype,
     )
-    return logits
+    return logits.astype(policy.compute_dtype)
 
 
 def forward_embeds(

@@ -22,7 +22,7 @@ import numpy as np
 from ..core.config import PretrainConfig
 from ..core.precision import Policy, DEFAULT_POLICY
 from ..models import gpt2
-from ..data.fineweb import TokenShardLoader
+from ..data.fineweb import TokenShardLoader, split_xy_on_device
 from ..data.tokenizer import get_tokenizer
 from ..eval.hellaswag import HellaSwagEvaluator
 from ..infer.decode import Decoder
@@ -68,14 +68,22 @@ def run_pretrain(
 
     model_cfg = cfg.model
 
+    b, t = cfg.micro_batch_size * world, cfg.seq_len
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    batch_sh = NamedSharding(mesh, P("data", None)) if world > 1 else None
+
     def loss_fn(params, micro):
+        # micro is a raw (B*T+1,) uint16 buffer (~4x fewer bytes over the
+        # host->device link than int32 x+y); split on device
+        x, y = split_xy_on_device(micro["buf"], b, t)
+        if batch_sh is not None:
+            # pin DP batch sharding — the tiny replicated buf would otherwise
+            # let GSPMD replicate the whole forward
+            x = jax.lax.with_sharding_constraint(x, batch_sh)
+            y = jax.lax.with_sharding_constraint(y, batch_sh)
         _, loss = gpt2.apply(
-            params,
-            micro["x"],
-            model_cfg,
-            targets=micro["y"],
-            policy=policy,
-            remat=remat,
+            params, x, model_cfg, targets=y, policy=policy, remat=remat
         )
         return loss
 
@@ -124,12 +132,8 @@ def run_pretrain(
 
         if step % cfg.val_every == 0 or last_step:
             val_loader.reset()
-            vx, vy = val_loader.next_accum_batch(cfg.val_steps)
-            vbatch = shard_batch(
-                mesh,
-                {"x": jnp.asarray(vx), "y": jnp.asarray(vy)},
-                leading_accum_axis=True,
-            )
+            vbuf = val_loader.next_accum_buf(cfg.val_steps)
+            vbatch = {"buf": jnp.asarray(vbuf)}
             val_loss = float(eval_step(params, vbatch))
             log.val(step, val_loss)
             if master:
@@ -156,14 +160,8 @@ def run_pretrain(
                 text = tokenizer.decode(prompt + np.asarray(toks[i]).tolist())
                 print(f"sample {i}: {text}")
 
-        xs, ys = train_loader.next_accum_batch(accum)
-        xs = xs.reshape(accum, world * cfg.micro_batch_size, cfg.seq_len)
-        ys = ys.reshape(accum, world * cfg.micro_batch_size, cfg.seq_len)
-        batch = shard_batch(
-            mesh,
-            {"x": jnp.asarray(xs), "y": jnp.asarray(ys)},
-            leading_accum_axis=True,
-        )
+        buf = train_loader.next_accum_buf(accum)
+        batch = {"buf": jnp.asarray(buf)}
         params, opt_state, metrics = train_step(
             params, opt_state, batch, jnp.int32(step)
         )
