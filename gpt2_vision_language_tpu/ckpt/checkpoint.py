@@ -25,6 +25,9 @@ import numpy as np
 import jax
 
 
+_BF16_TAG = "::bfloat16"
+
+
 def _flatten(tree) -> Dict[str, np.ndarray]:
     flat = {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
@@ -32,8 +35,20 @@ def _flatten(tree) -> Dict[str, np.ndarray]:
             str(getattr(k, "key", getattr(k, "idx", getattr(k, "name", k))))
             for k in path
         )
-        flat[key] = np.asarray(leaf)
+        arr = np.asarray(leaf)
+        if arr.dtype == _bf16():
+            # np.savez cannot round-trip ml_dtypes.bfloat16; store the raw
+            # bits as uint16 with a dtype tag in the key
+            key += _BF16_TAG
+            arr = arr.view(np.uint16)
+        flat[key] = arr
     return flat
+
+
+def _bf16():
+    import ml_dtypes
+
+    return np.dtype(ml_dtypes.bfloat16)
 
 
 def _set_path(tree: dict, parts, value):
@@ -46,6 +61,9 @@ def _set_path(tree: dict, parts, value):
 def _unflatten(flat: Dict[str, np.ndarray]):
     tree: dict = {}
     for key, val in flat.items():
+        if key.endswith(_BF16_TAG):
+            key = key[: -len(_BF16_TAG)]
+            val = val.view(_bf16())
         _set_path(tree, key.split("/"), val)
     return tree
 

@@ -36,6 +36,7 @@ from ..data.coco import (
     CocoClipTokensDataset,
     build_pooled_feature_bank,
 )
+from ..data.pipeline import HostPrefetcher
 from ..data.tokenizer import get_tokenizer
 from ..eval.caption_eval import evaluate_captions
 from ..obs.csvlog import MetricsLogger
@@ -262,14 +263,18 @@ def run_finetune(
                 # training survives eval crashes (gpt2_linear/train.py:271)
                 print(f"[CIDEr] evaluation failed at step {step}: {e}")
 
+    prefetch = HostPrefetcher(
+        lambda: train_batcher.next_accum_index_batch(accum),
+        stage=lambda raw: batch_to_device(raw, True),
+    )
+
     for step in range(max_steps):
         t0 = time.time()
         last_step = step == max_steps - 1
         if step % cfg.val_every == 0 or last_step:
             run_validation(step, last_step)
 
-        raw = train_batcher.next_accum_index_batch(accum)
-        batch = batch_to_device(raw, True)
+        batch = prefetch.next()
         params, opt_state, metrics = train_step(
             params, opt_state, batch, jnp.int32(step), train_bank
         )
@@ -285,6 +290,7 @@ def run_finetune(
             tokens_per_step / dt,
         )
 
+    prefetch.close()
     if master:
         manager.save_final(max_steps - 1, params, opt_state, val_loss)
         log.export_xlsx()

@@ -23,6 +23,7 @@ from ..core.config import PretrainConfig
 from ..core.precision import Policy, DEFAULT_POLICY
 from ..models import gpt2
 from ..data.fineweb import TokenShardLoader, split_xy_on_device
+from ..data.pipeline import HostPrefetcher
 from ..data.tokenizer import get_tokenizer
 from ..eval.hellaswag import HellaSwagEvaluator
 from ..infer.decode import Decoder
@@ -120,6 +121,12 @@ def run_pretrain(
             print(f"[ckpt] resumed from {manager.last_path} at step {start_step}")
 
     max_steps = max_steps_override or cfg.schedule.max_steps
+    # double-buffered host pipeline: prepare + device_put the next accum
+    # window while the current step runs
+    prefetch = HostPrefetcher(
+        lambda: train_loader.next_accum_buf(accum),
+        stage=lambda buf: {"buf": jax.device_put(jnp.asarray(buf))},
+    )
     hellaswag_dir_ok = os.path.isdir(
         os.environ.get("HELLASWAG_DIR", "hellaswag")
     )
@@ -160,8 +167,7 @@ def run_pretrain(
                 text = tokenizer.decode(prompt + np.asarray(toks[i]).tolist())
                 print(f"sample {i}: {text}")
 
-        buf = train_loader.next_accum_buf(accum)
-        batch = {"buf": jnp.asarray(buf)}
+        batch = prefetch.next()
         params, opt_state, metrics = train_step(
             params, opt_state, batch, jnp.int32(step)
         )
@@ -177,6 +183,7 @@ def run_pretrain(
         )
         prof.step(step)
 
+    prefetch.close()
     if master:
         manager.save_final(max_steps - 1, params, opt_state, val_loss)
         log.export_xlsx()
