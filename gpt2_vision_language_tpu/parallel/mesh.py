@@ -74,6 +74,21 @@ def batch_sharding(mesh: Mesh, *, leading_accum_axis: bool = False) -> NamedShar
 
 
 def shard_batch(mesh: Mesh, batch, *, leading_accum_axis: bool = False):
-    """Place a host batch pytree onto the mesh, sharded over "data"."""
+    """Place a host batch pytree onto the mesh, sharded over "data".
+
+    Single-process: a plain device_put. Multi-host (jax.process_count()>1):
+    each process holds only ITS slice of the global batch, assembled into a
+    global array with make_array_from_process_local_data — the SPMD
+    equivalent of per-rank DataLoader striding (train_gpt2.py:175,182)."""
     sh = batch_sharding(mesh, leading_accum_axis=leading_accum_axis)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+    def to_global(x):
+        local = np.asarray(x)
+        gshape = list(local.shape)
+        axis = 1 if leading_accum_axis else 0
+        gshape[axis] = gshape[axis] * jax.process_count()
+        return jax.make_array_from_process_local_data(sh, local, tuple(gshape))
+
+    return jax.tree.map(to_global, batch)
