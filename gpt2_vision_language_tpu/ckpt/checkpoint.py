@@ -94,17 +94,45 @@ def load_checkpoint(path: str) -> Tuple[Any, dict]:
 
 
 class CheckpointManager:
-    """last/best/final triad with the reference's cadence and atomicity."""
+    """last/best/final triad with the reference's cadence and atomicity.
+
+    Async mode (default): the device->host snapshot happens on the caller's
+    thread (cheap, and consistent with the step it belongs to), while the
+    ~GB npz serialization + atomic rename runs on a background thread so
+    training never stalls on disk. `wait()` joins outstanding writes;
+    final save always waits.
+    """
 
     LAST = "model_last.npz"
     BEST = "model_best.npz"
     FINAL = "model_final.npz"
 
-    def __init__(self, ckpt_dir: str, save_every: int = 2500):
+    def __init__(self, ckpt_dir: str, save_every: int = 2500, async_save: bool = True):
         self.dir = ckpt_dir
         self.save_every = save_every
         self.best_val = float("inf")
+        self.async_save = async_save
+        self._pending = []
         os.makedirs(ckpt_dir, exist_ok=True)
+
+    def _write(self, path, tree, meta):
+        if not self.async_save:
+            save_checkpoint(path, tree, meta)
+            return
+        import threading
+
+        host_tree = jax.device_get(tree)
+        th = threading.Thread(
+            target=save_checkpoint, args=(path, host_tree, meta), daemon=True
+        )
+        th.start()
+        self._pending = [t for t in self._pending if t.is_alive()]
+        self._pending.append(th)
+
+    def wait(self):
+        for t in self._pending:
+            t.join()
+        self._pending = []
 
     @property
     def last_path(self) -> str:
@@ -120,6 +148,7 @@ class CheckpointManager:
 
     def maybe_resume(self) -> Optional[Tuple[Any, dict]]:
         """Auto-resume from rolling `last` if present (train_gpt2.py:319-325)."""
+        self.wait()
         if os.path.isfile(self.last_path):
             return load_checkpoint(self.last_path)
         return None
@@ -136,12 +165,13 @@ class CheckpointManager:
         m.update({"step": step, "val_loss": float(val_loss)})
         tree = self.state_tree(params, opt_state)
         if step > 0 and (step % self.save_every == 0 or last_step):
-            save_checkpoint(self.last_path, tree, m)
+            self._write(self.last_path, tree, m)
         if val_loss < self.best_val:
             self.best_val = float(val_loss)
-            save_checkpoint(self.best_path, tree, m)
+            self._write(self.best_path, tree, m)
 
     def save_final(self, step: int, params, opt_state, val_loss=None, meta=None) -> None:
         m = dict(meta or {})
         m.update({"step": step, "val_loss": val_loss})
         save_checkpoint(self.final_path, self.state_tree(params, opt_state), m)
+        self.wait()

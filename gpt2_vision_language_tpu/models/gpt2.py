@@ -27,6 +27,7 @@ import functools
 from typing import Optional
 
 import jax
+import jax.ad_checkpoint
 import jax.numpy as jnp
 
 from ..core.config import GPTConfig
@@ -168,13 +169,16 @@ def block(layer_params, x, z, cfg: GPTConfig, *, policy: Policy, attn_impl: str)
             policy=policy,
         )
         x = x + jnp.tanh(p["gate"]) * xa
-    x = x + self_attention(
+    attn_out = self_attention(
         p["attn"],
         layer_norm(x, p["ln1"]["scale"], p["ln1"]["bias"]),
         cfg,
         policy=policy,
         attn_impl=attn_impl,
     )
+    # named for selective remat: saving attention outputs skips the flash
+    # forward recompute in the backward pass at (L, B, T, D) bf16 cost
+    x = x + jax.ad_checkpoint.checkpoint_name(attn_out, "attn_out")
     x = x + mlp(p["mlp"], layer_norm(x, p["ln2"]["scale"], p["ln2"]["bias"]), policy=policy)
     return x
 
@@ -187,9 +191,15 @@ def run_blocks(
     z=None,
     policy: Policy = DEFAULT_POLICY,
     attn_impl: str = "auto",
-    remat: bool = False,
+    remat=False,
 ):
-    """Scan the stacked blocks over the layer axis."""
+    """Scan the stacked blocks over the layer axis.
+
+    remat: False = no remat; True = full block remat (min memory);
+    "save_attn" = selective remat keeping the named attention outputs
+    resident (skips the flash-forward recompute in backward for
+    (L, B, T, D) bf16 of extra memory).
+    """
 
     def body(carry, layer_params):
         return (
@@ -197,7 +207,13 @@ def run_blocks(
             None,
         )
 
-    if remat:
+    if remat == "save_attn":
+        body = jax.checkpoint(
+            body,
+            prevent_cse=False,
+            policy=jax.checkpoint_policies.save_only_these_names("attn_out"),
+        )
+    elif remat:
         body = jax.checkpoint(body, prevent_cse=False)
     x, _ = jax.lax.scan(body, x, params["blocks"])
     return x

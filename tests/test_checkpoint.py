@@ -51,8 +51,10 @@ def test_manager_triad_and_resume(tmp_path):
     assert m.maybe_resume() is None
 
     m.save_step(0, params, opt, val_loss=3.0, last_step=False)  # best only
+    m.wait()  # async writes land on join
     assert os.path.exists(m.best_path) and not os.path.exists(m.last_path)
     m.save_step(2, params, opt, val_loss=4.0, last_step=False)  # rolling only
+    m.wait()
     assert os.path.exists(m.last_path)
     m.save_step(3, params, opt, val_loss=2.0, last_step=True)  # both
     tree, meta = m.maybe_resume()
