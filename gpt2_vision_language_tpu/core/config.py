@@ -53,6 +53,11 @@ class GPTConfig:
 
 
 GPT2_124M = GPTConfig()
+# Standard GPT-2 family (model-surgery-free scaling knobs; the reference
+# ships only 124M but parameterizes the same fields, train_gpt2.py:76-83)
+GPT2_350M = GPTConfig(n_layer=24, n_head=16, n_embd=1024)
+GPT2_774M = GPTConfig(n_layer=36, n_head=20, n_embd=1280)
+GPT2_1558M = GPTConfig(n_layer=48, n_head=25, n_embd=1600)
 
 
 @dataclass(frozen=True)

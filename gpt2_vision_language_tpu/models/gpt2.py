@@ -168,7 +168,8 @@ def block(layer_params, x, z, cfg: GPTConfig, *, policy: Policy, attn_impl: str)
             cfg,
             policy=policy,
         )
-        x = x + jnp.tanh(p["gate"]) * xa
+        # cast: the fp32 scalar gate must not promote the bf16 residual
+        x = x + jnp.tanh(p["gate"]).astype(x.dtype) * xa
     attn_out = self_attention(
         p["attn"],
         layer_norm(x, p["ln1"]["scale"], p["ln1"]["bias"]),
@@ -402,7 +403,7 @@ def forward_cached(
                 cfg,
                 policy=policy,
             )
-            x = x + jnp.tanh(lp["gate"]) * xa
+            x = x + jnp.tanh(lp["gate"]).astype(x.dtype) * xa
         att, kc, vc = _self_attention_cached(
             lp["attn"],
             layer_norm(x, lp["ln1"]["scale"], lp["ln1"]["bias"]),
