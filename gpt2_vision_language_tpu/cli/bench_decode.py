@@ -1,0 +1,105 @@
+"""CLI: caption-decode throughput (captions/sec/chip), KV-cached vs the
+reference's full-re-forward loop.
+
+    python -m gpt2_vision_language_tpu.cli.bench_decode [--batch 50] [--new 24]
+
+Replicates the evaluate_cider workload shape (gpt2_linear/data.py:95-127):
+33-token visual prefix + "A photo of" prompt + 24 sampled tokens, nucleus
+sampling. The reference generates one image at a time with a full forward
+per token; we report both that regime (batch 1, uncached) and ours
+(batched, prefill + scanned decode).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--batch", type=int, default=50)
+    p.add_argument("--new", type=int, default=24)
+    p.add_argument("--iters", type=int, default=5)
+    p.add_argument("--uncached-baseline", action="store_true",
+                   help="also measure the reference regime (slow)")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..core.config import GPTConfig
+    from ..infer.decode import Decoder
+    from ..infer.sampling import sample_top_p
+    from ..models import gpt2
+
+    cfg = GPTConfig()
+    params = gpt2.init(jax.random.PRNGKey(0), cfg)
+    b, m = args.batch, 33
+    prefix = jax.random.normal(
+        jax.random.PRNGKey(1), (b, m, cfg.n_embd), jnp.bfloat16
+    )
+    prompt = jnp.asarray([[32, 4590, 286]] * b, jnp.int32)  # "A photo of"
+    dec = Decoder(cfg, sample_fn=sample_top_p)
+
+    out, _ = dec.generate(
+        params, prompt, args.new, jax.random.PRNGKey(2), prefix_embeds=prefix
+    )
+    np.asarray(out)  # sync
+    t0 = time.time()
+    for i in range(args.iters):
+        out, _ = dec.generate(
+            params, prompt, args.new, jax.random.PRNGKey(3 + i),
+            prefix_embeds=prefix,
+        )
+    np.asarray(out)
+    dt = (time.time() - t0) / args.iters
+    cached_cps = b / dt
+
+    result = {
+        "metric": "caption_decode_captions_per_sec_per_chip",
+        "value": round(cached_cps, 2),
+        "unit": "captions/s/chip",
+        "batch": b,
+        "new_tokens": args.new,
+    }
+
+    if args.uncached_baseline:
+        # reference regime: batch 1, full re-forward per token
+        fwd = jax.jit(
+            lambda p, e: gpt2.forward_embeds(p, e, cfg)[:, -1, :]
+        )
+        wte, wpe = params["wte"], params["wpe"]
+
+        def uncached_one(rng):
+            ids = [32, 4590, 286]
+            for _ in range(args.new):
+                t = len(ids)
+                txt = jnp.take(wte, jnp.asarray([ids]), axis=0) + jnp.take(
+                    wpe, jnp.arange(t), axis=0
+                )
+                full = jnp.concatenate(
+                    [prefix[:1].astype(jnp.float32), txt], axis=1
+                ).astype(jnp.bfloat16)
+                logits = fwd(params, full)
+                rng, sub = jax.random.split(rng)
+                ids.append(int(sample_top_p(sub, logits)[0]))
+            return ids
+
+        uncached_one(jax.random.PRNGKey(0))  # compile all lengths
+        t0 = time.time()
+        uncached_one(jax.random.PRNGKey(1))
+        result["uncached_reference_captions_per_sec"] = round(
+            1.0 / (time.time() - t0), 3
+        )
+        result["speedup_vs_uncached"] = round(
+            cached_cps * (time.time() - t0), 1
+        )
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -95,16 +95,15 @@ class MetricsLogger:
         self._row("cider", step, hellaswag_acc=f"{score:.6f}")
 
     def export_xlsx(self):
-        """Best-effort CSV->XLSX (train_gpt2.py:509-517)."""
+        """CSV->XLSX export (train_gpt2.py:509-517), via our stdlib-only
+        writer (openpyxl is not in the TPU image). Non-fatal on error."""
         if not self.is_master:
             return
         try:
-            import pandas as pd
+            from .xlsx import csv_to_xlsx
 
             xlsx = self.csv_path.replace(".csv", ".xlsx")
-            df = pd.read_csv(self.csv_path)
-            with pd.ExcelWriter(xlsx, engine="openpyxl") as w:
-                df.to_excel(w, index=False, sheet_name="metrics")
+            csv_to_xlsx(self.csv_path, xlsx)
             print(f"[excel] written: {xlsx}")
         except Exception as e:  # noqa: BLE001 — parity: failure is non-fatal
             print(f"failed to convert to xlsx: {e}")

@@ -279,6 +279,9 @@ def run_finetune(
             params, opt_state, batch, jnp.int32(step), train_bank
         )
         loss = float(metrics["loss"])
+        if not np.isfinite(loss):
+            print(f"[guard] non-finite loss at step {step}; halting")
+            break
         dt = time.time() - t0
         avg_dt = dt if avg_dt is None else 0.9 * avg_dt + 0.1 * dt
         log.train(

@@ -160,8 +160,11 @@ def run_pretrain(
         if ((step > 0 and step % cfg.sample_every == 0) or last_step) and master:
             prompt = tokenizer.encode("Hello, I'm a language model,")
             ids = jnp.asarray([prompt] * 4, jnp.int32)
+            # per-rank seed 42+rank, re-seeded each sampling event
+            # (train_gpt2.py:438-439)
             toks, _ = decoder.generate(
-                params, ids, 32 - len(prompt), jax.random.PRNGKey(42)
+                params, ids, 32 - len(prompt),
+                jax.random.PRNGKey(42 + jax.process_index()),
             )
             for i in range(4):
                 text = tokenizer.decode(prompt + np.asarray(toks[i]).tolist())
@@ -172,6 +175,11 @@ def run_pretrain(
             params, opt_state, batch, jnp.int32(step)
         )
         loss = float(metrics["loss"])  # syncs, like cuda.synchronize timing
+        if not np.isfinite(loss):
+            # failure detection: the step already rolled the update back
+            # (train/step.py guard); halt with usable checkpoints on disk
+            print(f"[guard] non-finite loss at step {step}; halting")
+            break
         dt = time.time() - t0
         log.train(
             step,

@@ -89,6 +89,16 @@ def make_train_step(
             trainable_mask=trainable_mask,
             use_fused=use_fused_adamw,
         )
+        # failure guard: if the loss went non-finite, keep the old state so
+        # the caller can halt and the last checkpoint stays usable (the
+        # reference has no failure detection at all, SURVEY.md §5)
+        ok = jnp.isfinite(loss)
+        new_params = jax.tree.map(
+            lambda new, old: jnp.where(ok, new, old), new_params, params
+        )
+        new_opt = jax.tree.map(
+            lambda new, old: jnp.where(ok, new, old), new_opt, opt_state
+        )
         metrics = {"loss": loss, "lr": lr, "grad_norm": norm}
         return new_params, new_opt, metrics
 

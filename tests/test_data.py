@@ -103,3 +103,34 @@ def test_synthetic_corpus(tmp_path):
     x, y = loader.next_batch()
     assert x.shape == (4, 32)
     assert x.max() < 50257
+
+
+def test_coco_batcher_determinism(tmp_path):
+    """Same seeds -> identical epoch order and caption choices (input
+    pipeline determinism, SURVEY.md §7 hard parts)."""
+    from gpt2_vision_language_tpu.data.coco import (
+        CocoBatcher,
+        CocoClipTokensDataset,
+        write_synthetic_coco,
+    )
+    from gpt2_vision_language_tpu.data.tokenizer import ByteFallbackTokenizer
+
+    root = str(tmp_path)
+    write_synthetic_coco(root, split="val", n_images=12, n_tokens=5, enc_dim=8)
+    mk = lambda: CocoBatcher(
+        CocoClipTokensDataset(
+            os.path.join(root, "clip_feats", "val"),
+            os.path.join(root, "annotations", "captions_val2017.json"),
+            ByteFallbackTokenizer(),
+            max_len=8,
+            seed=3,
+        ),
+        batch_size=4,
+        seed=11,
+    )
+    b1, b2 = mk(), mk()
+    for _ in range(6):  # crosses an epoch boundary (reshuffle)
+        r1 = b1.next_index_batch()
+        r2 = b2.next_index_batch()
+        for a, b in zip(r1, r2):
+            np.testing.assert_array_equal(a, b)

@@ -74,3 +74,22 @@ def test_prefetcher_propagates_errors():
         for _ in range(3):
             pf.next()
     pf.close()
+
+
+def test_xlsx_export_roundtrip(tmp_path):
+    """Stdlib XLSX writer produces a zip openable as a spreadsheet."""
+    import zipfile
+    from xml.etree import ElementTree
+
+    log = MetricsLogger(str(tmp_path))
+    log.train(1, 2.5, 1e-3, 0.9, 123.4, 5000.0)
+    log.val(1, 2.4)
+    log.export_xlsx()
+    xlsx = log.csv_path.replace(".csv", ".xlsx")
+    assert os.path.exists(xlsx)
+    with zipfile.ZipFile(xlsx) as z:
+        names = set(z.namelist())
+        assert "xl/worksheets/sheet1.xml" in names
+        sheet = z.read("xl/worksheets/sheet1.xml").decode()
+        root = ElementTree.fromstring(sheet)  # valid XML
+        assert "2.500000" in sheet and "train" in sheet
