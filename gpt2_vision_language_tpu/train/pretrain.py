@@ -30,12 +30,7 @@ from ..infer.decode import Decoder
 from ..infer.sampling import sample_top_k
 from ..obs.csvlog import MetricsLogger, ProfilerHook
 from ..ckpt.checkpoint import CheckpointManager
-from ..parallel.mesh import (
-    make_mesh,
-    shard_batch,
-    is_master,
-    maybe_init_distributed,
-)
+from ..parallel.mesh import make_mesh, is_master, maybe_init_distributed
 from .optimizer import adamw_init
 from .step import make_train_step, make_eval_step
 
