@@ -110,6 +110,10 @@ def loss_fn_factory(
 
     def loss_fn(params, micro):
         labels = jnp.where(micro["mask"], micro["y"], -100)
+        # per-micro dropout rng from a uint32 seed in the batch (present
+        # only for training batches); Q-Former trains with dropout 0.1
+        # (gpt2_q_former/model.py:116-131)
+        rng = jax.random.PRNGKey(micro["seed"]) if "seed" in micro else None
         _, loss = apply(
             params["gpt"],
             params["bridge"],
@@ -119,8 +123,8 @@ def loss_fn_factory(
             bridge_cfg,
             labels=labels,
             policy=policy,
-            rng=micro.get("rng"),
-            train=train,
+            rng=rng,
+            train=train and rng is not None,
             remat=remat,
         )
         return loss

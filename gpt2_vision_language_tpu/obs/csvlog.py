@@ -59,12 +59,17 @@ class MetricsLogger:
         with open(self.csv_path, "a", newline="") as f:
             csv.writer(f).writerow(row)
 
-    def train(self, step, loss, lr, grad_norm, dt_ms, tok_per_s):
+    def train(self, step, loss, lr, grad_norm, dt_ms, tok_per_s, eta_sec=None):
         if self.is_master:
+            eta = ""
+            if eta_sec is not None:
+                h, rem = divmod(int(eta_sec), 3600)
+                m, sec = divmod(rem, 60)
+                eta = f" | ETA: {h:02d}h{m:02d}m{sec:02d}s"
             print(
                 f"step {step:5d} | loss: {loss:.6f} | lr {lr:.4e} | "
                 f"norm: {grad_norm:.4f} | dt: {dt_ms:.2f}ms | "
-                f"tok/sec: {tok_per_s:.2f}"
+                f"tok/sec: {tok_per_s:.2f}" + eta
             )
         self._row(
             "train",

@@ -91,28 +91,3 @@ def xla_sdpa(q, k, v, *, causal: bool):
         preferred_element_type=jnp.float32,
     )
     return out.astype(out_dtype)
-
-
-def decode_sdpa(q, k_cache, v_cache, cache_len):
-    """Single-token decode attention with a padded KV cache.
-
-    q: (B, H, 1, hs); k_cache/v_cache: (B, H, maxT, hs); cache_len: scalar
-    number of valid cache entries (including the current token).
-    """
-    out_dtype = q.dtype
-    head_dim = q.shape[-1]
-    scale = 1.0 / (head_dim**0.5)
-    scores = jnp.einsum(
-        "bhqd,bhkd->bhqk", q, k_cache, preferred_element_type=jnp.float32
-    )
-    scores = scores * scale
-    valid = jnp.arange(k_cache.shape[2])[None, None, None, :] < cache_len
-    scores = jnp.where(valid, scores, -jnp.inf)
-    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
-    out = jnp.einsum(
-        "bhqk,bhkd->bhqd",
-        probs.astype(v_cache.dtype),
-        v_cache,
-        preferred_element_type=jnp.float32,
-    )
-    return out.astype(out_dtype)

@@ -181,8 +181,9 @@ def run_finetune(
             "gpt": gpt2.decay_mask(gpt_params),
             "bridge": jax.tree.map(lambda p: p.ndim >= 2, bridge_params),
         }
+        # train=True: Q-Former dropout active when a seed is in the batch
         base_loss = caption.loss_fn_factory(
-            model_cfg, cfg.bridge, policy=policy, train=False
+            model_cfg, cfg.bridge, policy=policy, train=True
         )
 
         def loss_fn(p, micro, bank):
@@ -223,7 +224,9 @@ def run_finetune(
     tokens_per_step = gb * cfg.seq_len * accum
     avg_dt = None
 
-    def batch_to_device(raw, leading_accum):
+    seed_counter = [cfg.seed * 1000003]
+
+    def batch_to_device(raw, leading_accum, with_dropout_seed=False):
         x, y, m, idx = raw
         tree = {
             "x": jnp.asarray(x),
@@ -231,7 +234,14 @@ def run_finetune(
             "mask": jnp.asarray(m),
             "idx": jnp.asarray(idx),
         }
-        return shard_batch(mesh, tree, leading_accum_axis=leading_accum)
+        out = shard_batch(mesh, tree, leading_accum_axis=leading_accum)
+        if with_dropout_seed:
+            # per-micro scalar seeds: replicated, not data-sharded
+            k = x.shape[0]
+            seeds = np.arange(seed_counter[0], seed_counter[0] + k, dtype=np.uint32)
+            seed_counter[0] += k
+            out["seed"] = jnp.asarray(seeds)
+        return out
 
     def run_validation(step, last_step):
         nonlocal val_loss
@@ -263,9 +273,10 @@ def run_finetune(
                 # training survives eval crashes (gpt2_linear/train.py:271)
                 print(f"[CIDEr] evaluation failed at step {step}: {e}")
 
+    use_dropout = kind == "qformer"  # only the Q-Former has dropout sites
     prefetch = HostPrefetcher(
         lambda: train_batcher.next_accum_index_batch(accum),
-        stage=lambda raw: batch_to_device(raw, True),
+        stage=lambda raw: batch_to_device(raw, True, with_dropout_seed=use_dropout),
     )
 
     for step in range(max_steps):
@@ -291,6 +302,7 @@ def run_finetune(
             float(metrics["grad_norm"]),
             dt * 1000,
             tokens_per_step / dt,
+            eta_sec=(max_steps - step - 1) * avg_dt,
         )
 
     prefetch.close()

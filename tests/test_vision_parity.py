@@ -143,3 +143,26 @@ def test_caption_model_parity(variant):
         np.asarray(jlogits), tlogits.numpy(), rtol=5e-4, atol=5e-4
     )
     np.testing.assert_allclose(float(jloss), float(tloss), rtol=2e-4)
+
+
+def test_qformer_dropout_active_in_training():
+    """train=True with distinct rngs must perturb outputs (dropout 0.1
+    active, gpt2_q_former/model.py:119-131); eval is deterministic."""
+    import jax
+
+    from gpt2_vision_language_tpu.models.bridges import (
+        qformer_bridge_init,
+        qformer_bridge_apply,
+    )
+
+    cfg = BridgeConfig(kind="qformer", enc_dim=24, n_queries=8, n_layers=2, n_heads=2)
+    params = qformer_bridge_init(jax.random.PRNGKey(0), cfg, 32)
+    z = jnp.asarray(np.random.RandomState(0).randn(2, 33, 24), jnp.float32)
+    o1 = qformer_bridge_apply(params, z, cfg, policy=FP32_POLICY,
+                              rng=jax.random.PRNGKey(1), train=True)
+    o2 = qformer_bridge_apply(params, z, cfg, policy=FP32_POLICY,
+                              rng=jax.random.PRNGKey(2), train=True)
+    o3 = qformer_bridge_apply(params, z, cfg, policy=FP32_POLICY, train=False)
+    o4 = qformer_bridge_apply(params, z, cfg, policy=FP32_POLICY, train=False)
+    assert not np.allclose(np.asarray(o1), np.asarray(o2))
+    np.testing.assert_array_equal(np.asarray(o3), np.asarray(o4))
