@@ -112,7 +112,7 @@ class CheckpointManager:
         self.save_every = save_every
         self.best_val = float("inf")
         self.async_save = async_save
-        self._pending = []
+        self._inflight = {}  # path -> last writer thread (ordering)
         os.makedirs(ckpt_dir, exist_ok=True)
 
     def _write(self, path, tree, meta):
@@ -122,17 +122,23 @@ class CheckpointManager:
         import threading
 
         host_tree = jax.device_get(tree)
-        th = threading.Thread(
-            target=save_checkpoint, args=(path, host_tree, meta), daemon=True
-        )
+        prev = self._inflight.get(path)
+
+        def run():
+            # chain on the previous write to the SAME path so an older
+            # snapshot can never land after a newer one
+            if prev is not None:
+                prev.join()
+            save_checkpoint(path, host_tree, meta)
+
+        th = threading.Thread(target=run, daemon=True)
         th.start()
-        self._pending = [t for t in self._pending if t.is_alive()]
-        self._pending.append(th)
+        self._inflight[path] = th
 
     def wait(self):
-        for t in self._pending:
+        for t in list(self._inflight.values()):
             t.join()
-        self._pending = []
+        self._inflight = {}
 
     @property
     def last_path(self) -> str:

@@ -64,22 +64,34 @@ def main(argv=None):
         print("[extract] WARNING: no --hf-ckpt, using random CLIP init")
         params = clip_vit.init(jax.random.PRNGKey(0), cfg)
 
+    # host side does the aspect-preserving resize + center crop exactly
+    # like CLIP's canonical preprocessing (device preprocess would need
+    # per-image shapes); device does normalize + the ViT
     feat_fn = jax.jit(
         lambda p, im: clip_vit.features(
-            p, clip_vit.preprocess(im, size=cfg.image_size), cfg
+            p, clip_vit.normalize_only(im), cfg
         )
     )
 
     os.makedirs(args.out, exist_ok=True)
 
     def load_batch(metas):
-        # fixed 2x-target host size: device preprocess handles the rest
-        hw = cfg.image_size * 2
-        out = np.zeros((len(metas), hw, hw, 3), np.uint8)
+        size = cfg.image_size
+        out = np.zeros((len(metas), size, size, 3), np.uint8)
         for i, meta in enumerate(metas):
             name = meta.get("file_name", f"{meta['id']:012d}.jpg")
             img = Image.open(os.path.join(img_dir, name)).convert("RGB")
-            out[i] = np.asarray(img.resize((hw, hw)))
+            w, h = img.size
+            # resize shorter side to `size` (bicubic, CLIP-canonical),
+            # then center crop — aspect ratio preserved
+            if w < h:
+                nw, nh = size, max(size, round(h * size / w))
+            else:
+                nw, nh = max(size, round(w * size / h)), size
+            img = img.resize((nw, nh), Image.BICUBIC)
+            left = (nw - size) // 2
+            top = (nh - size) // 2
+            out[i] = np.asarray(img.crop((left, top, left + size, top + size)))
         return out
 
     index = []

@@ -52,6 +52,11 @@ def main(argv=None):
 
     tok = get_tokenizer()
     prompt = tok.encode(args.prompt)
+    if args.length <= len(prompt):
+        p.error(
+            f"--length {args.length} must exceed the prompt length "
+            f"({len(prompt)} tokens with tokenizer {tok.name!r})"
+        )
     ids = jnp.asarray([prompt] * args.num, jnp.int32)
     dec = Decoder(
         cfg, sample_fn=functools.partial(sample_top_k, k=args.top_k)

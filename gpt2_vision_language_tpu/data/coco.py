@@ -121,34 +121,61 @@ class CocoClipTokensDataset:
 class CocoBatcher:
     """Shuffled epoch iterator over (B, ...) numpy batches, drop_last=True
     for train (gpt2_linear/train.py:90-93). Restarting iteration reshuffles,
-    mirroring DataLoader(shuffle=True) epoch semantics."""
+    mirroring DataLoader(shuffle=True) epoch semantics.
+
+    Batches are ALWAYS exactly B rows (static shapes for jit): with
+    drop_last=False an epoch tail shorter than B wraps into the next epoch
+    to fill the batch. `rank`/`world` stride the epoch order across
+    processes for multi-host data parallelism.
+
+    reset() rewinds to the epoch start without reshuffling — used by the
+    validation loop so every eval scores the SAME leading window
+    (reference re-iterates a fresh val_loader each validation,
+    gpt2_linear/train.py:225)."""
 
     def __init__(self, dataset: CocoClipTokensDataset, batch_size: int,
-                 *, shuffle: bool = True, drop_last: bool = True, seed: int = 0):
+                 *, shuffle: bool = True, drop_last: bool = True, seed: int = 0,
+                 rank: int = 0, world: int = 1):
         self.ds = dataset
         self.B = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
+        self.rank = rank
+        self.world = world
         self.rng = np.random.RandomState(seed)
-        self._order = np.arange(len(dataset))
+        self._base = np.arange(len(dataset))
         self._pos = 0
         self._new_epoch()
 
     def _new_epoch(self):
         if self.shuffle:
-            self.rng.shuffle(self._order)
+            self.rng.shuffle(self._base)
+        self._order = self._base[self.rank :: self.world]
+        self._pos = 0
+
+    def reset(self):
+        """Rewind to the current epoch's start (no reshuffle)."""
         self._pos = 0
 
     def steps_per_epoch(self) -> int:
-        n = len(self.ds)
+        n = len(self._order)
         return n // self.B if self.drop_last else -(-n // self.B)
 
-    def next_batch(self):
+    def _next_idxs(self):
         if self._pos + self.B > len(self._order):
             if self.drop_last or self._pos >= len(self._order):
                 self._new_epoch()
         idxs = self._order[self._pos : self._pos + self.B]
         self._pos += len(idxs)
+        while len(idxs) < self.B:  # wrap tail into the next epoch
+            self._new_epoch()
+            take = self._order[: self.B - len(idxs)]
+            self._pos = len(take)
+            idxs = np.concatenate([idxs, take])
+        return idxs
+
+    def next_batch(self):
+        idxs = self._next_idxs()
         xs, ys, ms, zs = zip(*(self.ds[int(i)] for i in idxs))
         return (
             np.stack(xs),
@@ -166,11 +193,7 @@ class CocoBatcher:
     def next_index_batch(self):
         """(x, y, mask, idx) — features are looked up ON DEVICE in a
         preloaded bank; only token ids cross the host->device boundary."""
-        if self._pos + self.B > len(self._order):
-            if self.drop_last or self._pos >= len(self._order):
-                self._new_epoch()
-        idxs = self._order[self._pos : self._pos + self.B]
-        self._pos += len(idxs)
+        idxs = self._next_idxs()
         xs, ys, ms = [], [], []
         for i in idxs:
             caps = self.ds.coco[int(i)]

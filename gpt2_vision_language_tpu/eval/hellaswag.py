@@ -87,13 +87,14 @@ class HellaSwagEvaluator:
         cfg: GPTConfig,
         *,
         policy: Policy = DEFAULT_POLICY,
-        max_len: int = 160,
+        max_len: int = 256,
         batch_examples: int = 8,
     ):
         self.cfg = cfg
         self.policy = policy
         self.max_len = max_len
         self.batch = batch_examples
+        self.truncated = 0  # examples whose tokens exceeded max_len
         self._predict = jax.jit(self._predict_impl)
 
     def _predict_impl(self, params, tokens, mask):
@@ -132,6 +133,11 @@ class HellaSwagEvaluator:
             tokens = np.zeros((self.batch, 4, self.max_len), np.int32)
             mask = np.zeros((self.batch, 4, self.max_len), bool)
             for i, (t, m) in enumerate(zip(tok_buf, mask_buf)):
+                if t.shape[1] > self.max_len:
+                    # scores for clipped completions are unreliable; count
+                    # them so callers can widen max_len (reference never
+                    # truncates — it forwards each example at full length)
+                    self.truncated += 1
                 L = min(t.shape[1], self.max_len)
                 tokens[i, :, :L] = t[:, :L]
                 mask[i, :, :L] = m[:, :L]
@@ -156,4 +162,9 @@ class HellaSwagEvaluator:
             if len(tok_buf) == self.batch:
                 flush()
         flush()
+        if self.truncated:
+            print(
+                f"[hellaswag] WARNING: {self.truncated} examples exceeded "
+                f"max_len={self.max_len} and were truncated"
+            )
         return correct, total

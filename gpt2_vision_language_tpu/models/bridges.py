@@ -222,6 +222,25 @@ def qformer_bridge_apply(
     return q
 
 
+def bridge_decay_mask(params):
+    """AdamW decay mask for bridge pytrees by NAME, not raw ndim: stacked
+    layer leaves carry a leading layer axis, so torch-equivalent ndim>=2
+    (configure_optimizers, gpt2_q_former/model.py:252-260) means: weights
+    and query_tokens decay; biases and LayerNorm scales/biases do not."""
+    import jax as _jax
+
+    def per_path(path, leaf):
+        names = [str(getattr(k, "key", getattr(k, "name", k))) for k in path]
+        last = names[-1]
+        if last == "query_tokens":
+            return True
+        if last.startswith("w"):
+            return True
+        return False
+
+    return _jax.tree_util.tree_map_with_path(per_path, params)
+
+
 def bridge_init(key, cfg: BridgeConfig, d_lm: int):
     if cfg.kind == "linear":
         return linear_bridge_init(key, cfg, d_lm)

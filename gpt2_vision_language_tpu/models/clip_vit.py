@@ -154,6 +154,12 @@ def features(
 # ---------------------------------------------------------------------------
 
 
+def normalize_only(images_u8):
+    """(B, S, S, 3) uint8 already resized/cropped -> CLIP-normalized float."""
+    x = images_u8.astype(jnp.float32) / 255.0
+    return (x - jnp.asarray(CLIP_MEAN)) / jnp.asarray(CLIP_STD)
+
+
 @functools.partial(jax.jit, static_argnames=("size",))
 def preprocess(images_u8, size: int = 224):
     """(B, H, W, 3) uint8 -> (B, size, size, 3) float32, CLIP normalization.

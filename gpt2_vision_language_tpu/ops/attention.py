@@ -59,8 +59,6 @@ def sdpa(q, k, v, *, causal: bool, impl: str = "auto"):
         from .flash_attention import flash_attention
 
         return flash_attention(q, k, v, causal=causal)
-    if impl == "auto":  # flash unavailable for these shapes/platform
-        impl = "xla"
     return xla_sdpa(q, k, v, causal=causal)
 
 

@@ -32,11 +32,18 @@ DEFAULT_BLOCK_K = 512
 NEG_INF = -1e30
 
 
+def _fit_block(t: int, want: int) -> int:
+    """Largest multiple of 128 that divides t and is <= want."""
+    b = min(want, t)
+    while b >= 128:
+        if t % b == 0 and b % 128 == 0:
+            return b
+        b -= 128
+    raise AssertionError(f"T={t} has no 128-aligned divisor block")
+
+
 def _block_sizes(t: int, bq: int, bk: int):
-    bq = min(bq, t)
-    bk = min(bk, t)
-    assert t % bq == 0 and t % bk == 0, f"T={t} not divisible by blocks {bq}/{bk}"
-    return bq, bk
+    return _fit_block(t, bq), _fit_block(t, bk)
 
 
 # ---------------------------------------------------------------------------
@@ -46,7 +53,7 @@ def _block_sizes(t: int, bq: int, bk: int):
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, bq, bk, scale, causal, t):
     iq = pl.program_id(1)
-    q = q_ref[0].astype(jnp.float32)  # (bq, hs) — cast once; scores need fp32
+    q = q_ref[0]  # (bq, hs); scores accumulate fp32 via preferred_element_type
     hs = q.shape[-1]
 
     if causal:
@@ -60,7 +67,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, bq, bk, scale, causal, t
         k = k_ref[0, pl.ds(j * bk, bk), :]
         v = v_ref[0, pl.ds(j * bk, bk), :]
         s = jax.lax.dot_general(
-            q.astype(k.dtype),
+            q,
             k,
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,

@@ -125,8 +125,17 @@ def run_finetune(
         seed=cfg.seed,
     )
     gb = cfg.micro_batch_size * world
-    train_batcher = CocoBatcher(train_ds, gb, shuffle=True, drop_last=True, seed=cfg.seed)
-    val_batcher = CocoBatcher(val_ds, gb, shuffle=False, drop_last=False, seed=cfg.seed)
+    procs = jax.process_count()
+    prank = jax.process_index()
+    assert gb % procs == 0
+    train_batcher = CocoBatcher(
+        train_ds, gb // procs, shuffle=True, drop_last=True, seed=cfg.seed,
+        rank=prank, world=procs,
+    )
+    val_batcher = CocoBatcher(
+        val_ds, gb // procs, shuffle=False, drop_last=False, seed=cfg.seed,
+        rank=prank, world=procs,
+    )
 
     # Device-resident pooled feature banks: pay the CLIP-feature transfer
     # once, gather rows on device per step (measured: streaming the full
@@ -177,9 +186,13 @@ def run_finetune(
             "gpt": jax.tree.map(lambda _: False, gpt_params),
             "bridge": jax.tree.map(lambda _: True, bridge_params),
         }
+        from ..models.bridges import bridge_decay_mask
+
         decay = {
             "gpt": gpt2.decay_mask(gpt_params),
-            "bridge": jax.tree.map(lambda p: p.ndim >= 2, bridge_params),
+            # name-based: stacked-layer leaves make raw ndim wrong (LN
+            # params are (L, D) but must NOT decay)
+            "bridge": bridge_decay_mask(bridge_params),
         }
         # train=True: Q-Former dropout active when a seed is in the batch
         base_loss = caption.loss_fn_factory(
@@ -245,6 +258,9 @@ def run_finetune(
 
     def run_validation(step, last_step):
         nonlocal val_loss
+        # fixed comparable val window every time (reference iterates a fresh
+        # val_loader each validation, gpt2_linear/train.py:225)
+        val_batcher.reset()
         raw = val_batcher.next_accum_index_batch(cfg.val_steps)
         val_loss = float(eval_step(params, batch_to_device(raw, True), val_bank))
         log.val(step, val_loss)

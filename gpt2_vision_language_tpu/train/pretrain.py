@@ -55,11 +55,20 @@ def run_pretrain(
         print(f"mesh: {mesh}")
 
     tokenizer = get_tokenizer()
+    # per-process loaders stride disjoint windows (DataLoaderLite rank
+    # semantics, train_gpt2.py:175,182); each process reads its slice of the
+    # global batch
+    procs = jax.process_count()
+    rank = jax.process_index()
+    assert (cfg.micro_batch_size * world) % procs == 0
+    local_b = cfg.micro_batch_size * world // procs
     train_loader = TokenShardLoader(
-        cfg.micro_batch_size * world, cfg.seq_len, split="train", data_dir=cfg.data_dir
+        local_b, cfg.seq_len, rank=rank, world_size=procs,
+        split="train", data_dir=cfg.data_dir,
     )
     val_loader = TokenShardLoader(
-        cfg.micro_batch_size * world, cfg.seq_len, split="val", data_dir=cfg.data_dir
+        local_b, cfg.seq_len, rank=rank, world_size=procs,
+        split="val", data_dir=cfg.data_dir,
     )
 
     model_cfg = cfg.model
@@ -158,7 +167,7 @@ def run_pretrain(
             # per-rank seed 42+rank, re-seeded each sampling event
             # (train_gpt2.py:438-439)
             toks, _ = decoder.generate(
-                params, ids, 32 - len(prompt),
+                params, ids, max(1, 32 - len(prompt)),
                 jax.random.PRNGKey(42 + jax.process_index()),
             )
             for i in range(4):

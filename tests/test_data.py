@@ -134,3 +134,45 @@ def test_coco_batcher_determinism(tmp_path):
         r2 = b2.next_index_batch()
         for a, b in zip(r1, r2):
             np.testing.assert_array_equal(a, b)
+
+
+def test_coco_batcher_fixed_size_tail(tmp_path):
+    """drop_last=False epoch tails wrap into the next epoch so every batch
+    is exactly B rows (static shapes; real COCO val 5000 % 128 != 0)."""
+    from gpt2_vision_language_tpu.data.coco import (
+        CocoBatcher,
+        CocoClipTokensDataset,
+        write_synthetic_coco,
+    )
+    from gpt2_vision_language_tpu.data.tokenizer import ByteFallbackTokenizer
+
+    root = str(tmp_path)
+    write_synthetic_coco(root, split="val", n_images=10, n_tokens=5, enc_dim=8)
+    ds = CocoClipTokensDataset(
+        os.path.join(root, "clip_feats", "val"),
+        os.path.join(root, "annotations", "captions_val2017.json"),
+        ByteFallbackTokenizer(),
+        max_len=8,
+    )
+    b = CocoBatcher(ds, 4, shuffle=False, drop_last=False)
+    shapes = [b.next_index_batch()[0].shape for _ in range(5)]
+    assert all(s == (4, 7) for s in shapes)
+    # accum stacking over the tail boundary must not crash
+    xs, ys, ms, idx = b.next_accum_index_batch(3)
+    assert xs.shape == (3, 4, 7)
+    # reset() rewinds to epoch start: same leading window every validation
+    b2 = CocoBatcher(ds, 4, shuffle=False, drop_last=False)
+    first = b2.next_index_batch()[3]
+    b2.next_index_batch()
+    b2.reset()
+    np.testing.assert_array_equal(b2.next_index_batch()[3], first)
+
+
+def test_flash_block_fit():
+    """Non-512-divisible (but 128-aligned) T picks a fitting block size."""
+    from gpt2_vision_language_tpu.ops.flash_attention import _block_sizes
+
+    assert _block_sizes(768, 512, 512) == (384, 384)
+    assert _block_sizes(1024, 512, 512) == (512, 512)
+    assert _block_sizes(640, 512, 512) == (128, 128)
+    assert _block_sizes(256, 512, 128) == (256, 128)

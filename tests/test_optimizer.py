@@ -146,3 +146,28 @@ def test_fused_leaf_matches_xla():
     np.testing.assert_allclose(
         np.asarray(fus_s["v"]["p"]), np.asarray(ref_s["v"]["p"]), rtol=1e-6
     )
+
+
+def test_bridge_decay_mask_by_name():
+    """Stacked Q-Former leaves: LN scales/biases (L, D) must NOT decay even
+    though raw ndim >= 2; weights and query_tokens must."""
+    import jax
+
+    from gpt2_vision_language_tpu.core.config import BridgeConfig
+    from gpt2_vision_language_tpu.models.bridges import (
+        bridge_decay_mask,
+        qformer_bridge_init,
+    )
+
+    cfg = BridgeConfig(kind="qformer", enc_dim=24, n_queries=8, n_layers=2, n_heads=2)
+    params = qformer_bridge_init(jax.random.PRNGKey(0), cfg, 32)
+    mask = bridge_decay_mask(params)
+    assert mask["query_tokens"] is True
+    assert mask["vis_proj"]["w"] is True
+    assert mask["vis_proj"]["b"] is False
+    assert mask["layers"]["ln1"]["scale"] is False
+    assert mask["layers"]["ln1"]["bias"] is False
+    assert mask["layers"]["self_attn"]["wq"] is True
+    assert mask["layers"]["self_attn"]["bq"] is False
+    assert mask["layers"]["mlp"]["wfc"] is True
+    assert mask["layers"]["mlp"]["bfc"] is False
