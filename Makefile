@@ -1,0 +1,21 @@
+.PHONY: test native bench dryrun clean
+
+test:
+	python -m pytest tests/ -q
+
+native:
+	$(MAKE) -C csrc
+
+bench:
+	python bench.py
+
+bench-decode:
+	python -m gpt2_vision_language_tpu.cli.bench_decode --uncached-baseline
+
+dryrun:
+	XLA_FLAGS=--xla_force_host_platform_device_count=8 python -c \
+		"import __graft_entry__ as g; g.dryrun_multichip(8)"
+
+clean:
+	$(MAKE) -C csrc clean
+	find . -name __pycache__ -type d -exec rm -rf {} + 2>/dev/null || true
