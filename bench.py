@@ -33,7 +33,8 @@ def main():
     from gpt2_vision_language_tpu.train.optimizer import adamw_init
 
     cfg = GPTConfig()
-    b, t, accum = 16, 1024, 4  # accum=4 is enough to amortize; tok/s is per-token
+    b, t, accum = 16, 1024, 32  # the reference's exact production shape
+    # (524,288 tokens per optimizer step, train_gpt2.py:244-248)
 
     def loss_fn(params, micro):
         _, loss = gpt2.apply(params, micro["x"], cfg, targets=micro["y"], remat=True)
@@ -58,7 +59,7 @@ def main():
     float(m["loss"])  # float() forces a sync (block_until_ready is not
     # reliable on the tunneled TPU platform)
 
-    iters = 8
+    iters = 3
     t0 = time.time()
     for i in range(iters):
         params, opt_state, m = step(params, opt_state, batch, jnp.int32(i + 1))
