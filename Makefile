@@ -1,4 +1,4 @@
-.PHONY: test native bench dryrun clean
+.PHONY: test native bench bench-decode dryrun clean
 
 test:
 	python -m pytest tests/ -q

@@ -5,8 +5,11 @@
         [--clip-hf-ckpt /path/to/clip] [--bridge linear|qformer] [--variant vit-l-14]
 
 The one-command inference path the reference never had (it only evaluates
-from precomputed shards): on-device preprocessing + CLIP ViT + 33-token
-pooling + bridge + KV-cached nucleus decode, all batched.
+from precomputed shards). Preprocessing (CLIP-canonical resize-shorter-side
++ center crop) happens HOST-side with PIL so arbitrary image sizes can be
+batched; normalization + CLIP ViT + 33-token pooling + bridge + KV-cached
+nucleus decode run on device. (clip_vit.preprocess is the fully on-device
+variant for fixed-size uint8 batches.)
 """
 
 from __future__ import annotations

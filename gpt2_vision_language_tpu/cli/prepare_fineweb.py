@@ -57,7 +57,7 @@ def main(argv=None):
     shard_id = 0
     total = 0
 
-    def flush(final=False):
+    def flush():
         nonlocal filled, shard_id
         if filled == 0:
             return
@@ -79,8 +79,15 @@ def main(argv=None):
             total += take
             if filled == args.shard_tokens:
                 flush()
-    flush(final=True)
+    flush()
     print(f"[prepare] total {total:,} tokens in {shard_id} shards -> {args.out}")
+    if shard_id <= args.val_shards:
+        p.error(
+            f"corpus produced only {shard_id} shard(s), all assigned to the "
+            f"val split — the train split would be EMPTY. Re-run with a "
+            f"smaller --shard-tokens (e.g. {max(1024, total // 4)}) or "
+            f"--val-shards 0."
+        )
 
 
 if __name__ == "__main__":

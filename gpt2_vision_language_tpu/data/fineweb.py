@@ -86,8 +86,16 @@ class TokenShardLoader:
     def _advance(self) -> None:
         self.pos += self.B * self.T * self.world
         if self.pos + (self.B * self.T * self.world + 1) > len(self.tokens):
-            self.current_shard = (self.current_shard + 1) % len(self.shards)
-            self.tokens = self._open(self.shards[self.current_shard])
+            window = self.B * self.T * self.world + 1
+            for _ in range(len(self.shards)):
+                self.current_shard = (self.current_shard + 1) % len(self.shards)
+                self.tokens = self._open(self.shards[self.current_shard])
+                if len(self.tokens) >= window + self.B * self.T * self.rank:
+                    break  # skip shards too small for one read window
+            else:
+                raise ValueError(
+                    f"no shard holds a full window of {window} tokens"
+                )
             self.pos = self.B * self.T * self.rank
         elif self.use_native:
             # warm the next window off the critical path
