@@ -110,6 +110,61 @@ def gpt2_from_torch_state_dict(sd: Mapping, cfg: GPTConfig) -> Dict:
     return params
 
 
+def gpt2_from_hf_state_dict(sd: Mapping, cfg: GPTConfig) -> Dict:
+    """Import HuggingFace GPT2LMHeadModel weights (e.g. the original OpenAI
+    gpt2 checkpoints) into our pytree.
+
+    HF GPT-2 uses Conv1D modules whose weights are stored (in, out) — OUR
+    layout — so unlike the reference's nn.Linear (out, in) no transpose is
+    needed; LayerNorm/embedding names differ from the reference's
+    (`h.N.ln_1.weight` vs `transformer.h.N...`). Accepts keys with or
+    without the `transformer.` prefix.
+    """
+    sd = {k.removeprefix("transformer."): v for k, v in sd.items()}
+    sd = {k: v for k, v in sd.items() if not k.endswith(".attn.bias")}
+    L = cfg.n_layer
+    wte = _np(sd["wte.weight"])
+    vp = cfg.padded_vocab_size
+    if wte.shape[0] < vp:
+        wte = np.concatenate(
+            [wte, np.zeros((vp - wte.shape[0], wte.shape[1]), np.float32)]
+        )
+
+    def stack(tmpl):
+        return jnp.asarray(np.stack([_np(sd[tmpl.format(i)]) for i in range(L)]))
+
+    return {
+        "wte": jnp.asarray(wte),
+        "wpe": jnp.asarray(_np(sd["wpe.weight"])),
+        "blocks": {
+            "ln1": {
+                "scale": stack("h.{}.ln_1.weight"),
+                "bias": stack("h.{}.ln_1.bias"),
+            },
+            "attn": {
+                "wqkv": stack("h.{}.attn.c_attn.weight"),  # Conv1D: (in, out)
+                "bqkv": stack("h.{}.attn.c_attn.bias"),
+                "wo": stack("h.{}.attn.c_proj.weight"),
+                "bo": stack("h.{}.attn.c_proj.bias"),
+            },
+            "ln2": {
+                "scale": stack("h.{}.ln_2.weight"),
+                "bias": stack("h.{}.ln_2.bias"),
+            },
+            "mlp": {
+                "wfc": stack("h.{}.mlp.c_fc.weight"),
+                "bfc": stack("h.{}.mlp.c_fc.bias"),
+                "wproj": stack("h.{}.mlp.c_proj.weight"),
+                "bproj": stack("h.{}.mlp.c_proj.bias"),
+            },
+        },
+        "lnf": {
+            "scale": jnp.asarray(_np(sd["ln_f.weight"])),
+            "bias": jnp.asarray(_np(sd["ln_f.bias"])),
+        },
+    }
+
+
 def load_torch_checkpoint(path: str):
     """Load a reference .pt checkpoint file -> (state_dict, meta)."""
     import torch

@@ -68,3 +68,26 @@ def test_reference_model_loads_export(tmp_path):
     np.testing.assert_allclose(
         np.asarray(jlogits), tlogits.numpy(), rtol=2e-4, atol=2e-4
     )
+
+
+def test_hf_gpt2_import_parity():
+    """HF GPT2LMHeadModel (Conv1D layout) -> our pytree, logit parity."""
+    transformers = pytest.importorskip("transformers")
+    torch = pytest.importorskip("torch")
+    from transformers import GPT2Config, GPT2LMHeadModel
+
+    hf_cfg = GPT2Config(
+        vocab_size=128, n_positions=32, n_embd=32, n_layer=2, n_head=2
+    )
+    torch.manual_seed(0)
+    model = GPT2LMHeadModel(hf_cfg).eval()
+
+    from gpt2_vision_language_tpu.ckpt.torch_import import gpt2_from_hf_state_dict
+
+    params = gpt2_from_hf_state_dict(model.state_dict(), SMALL)
+    rng = np.random.RandomState(0)
+    idx = rng.randint(0, 128, (2, 16))
+    with torch.no_grad():
+        ref = model(torch.tensor(idx, dtype=torch.long)).logits.numpy()
+    ours, _ = gpt2.apply(params, jnp.asarray(idx), SMALL, policy=FP32_POLICY)
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=5e-4, atol=5e-4)
