@@ -30,6 +30,9 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_BLOCK_Q = 512
 DEFAULT_BLOCK_K = 512
 NEG_INF = -1e30
+# Global interpreter-mode override for CPU testing of callers that do not
+# thread an `interpret` argument (e.g. the model's attn_impl="flash" path).
+FORCE_INTERPRET = False
 
 
 def _fit_block(t: int, want: int) -> int:
@@ -328,4 +331,4 @@ def flash_attention(
     Pallas interpreter for CPU tests.
     """
     assert q.shape == k.shape == v.shape, "flash path is self-attention only"
-    return _flash(q, k, v, causal, block_q, block_k, interpret)
+    return _flash(q, k, v, causal, block_q, block_k, interpret or FORCE_INTERPRET)

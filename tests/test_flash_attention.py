@@ -72,3 +72,26 @@ def test_bf16_forward_close():
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref), atol=2e-2, rtol=2e-2
     )
+
+
+def test_full_model_with_flash_interpret():
+    """gpt2.apply with the flash kernel (interpret mode) matches the XLA
+    attention path — pins the model<->kernel integration, not just the op."""
+    import functools
+    from unittest import mock
+
+    import gpt2_vision_language_tpu.ops.flash_attention as fa
+    from gpt2_vision_language_tpu.core.config import GPTConfig
+    from gpt2_vision_language_tpu.core.precision import FP32_POLICY
+    from gpt2_vision_language_tpu.models import gpt2 as G
+
+    cfg = GPTConfig(block_size=256, vocab_size=128, n_layer=2, n_head=2, n_embd=32)
+    params = G.init(jax.random.PRNGKey(0), cfg)
+    idx = jnp.asarray(np.random.RandomState(0).randint(0, 128, (1, 256)), jnp.int32)
+
+    ref, _ = G.apply(params, idx, cfg, policy=FP32_POLICY, attn_impl="xla")
+    with mock.patch.object(fa, "FORCE_INTERPRET", True):
+        out, _ = G.apply(params, idx, cfg, policy=FP32_POLICY, attn_impl="flash")
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-4
+    )
