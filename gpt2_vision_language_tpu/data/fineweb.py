@@ -79,18 +79,27 @@ class TokenShardLoader:
         return load_tokens(path)
 
     def reset(self) -> None:
-        self.current_shard = 0
-        self.tokens = self._open(self.shards[0])
+        window = self.B * self.T * self.world + 1
+        need = window + self.B * self.T * self.rank
+        for i, path in enumerate(self.shards):
+            tokens = self._open(path)
+            if len(tokens) >= need:
+                self.current_shard = i
+                self.tokens = tokens
+                break
+        else:
+            raise ValueError(f"no shard holds a full window of {window} tokens")
         self.pos = self.B * self.T * self.rank
 
     def _advance(self) -> None:
         self.pos += self.B * self.T * self.world
         if self.pos + (self.B * self.T * self.world + 1) > len(self.tokens):
             window = self.B * self.T * self.world + 1
+            need = window + self.B * self.T * self.rank
             for _ in range(len(self.shards)):
                 self.current_shard = (self.current_shard + 1) % len(self.shards)
                 self.tokens = self._open(self.shards[self.current_shard])
-                if len(self.tokens) >= window + self.B * self.T * self.rank:
+                if len(self.tokens) >= need:
                     break  # skip shards too small for one read window
             else:
                 raise ValueError(

@@ -176,3 +176,22 @@ def test_flash_block_fit():
     assert _block_sizes(1024, 512, 512) == (512, 512)
     assert _block_sizes(640, 512, 512) == (128, 128)
     assert _block_sizes(256, 512, 128) == (256, 128)
+
+
+def test_loader_skips_undersized_shards(tmp_path):
+    """Shards smaller than one read window (incl. the FIRST one) are skipped
+    instead of crashing the reshape mid-run; all-undersized raises."""
+    d = str(tmp_path)
+    write_token_shard(os.path.join(d, "a_train_0"), np.arange(10, dtype=np.uint16))
+    write_token_shard(os.path.join(d, "b_train_1"), np.arange(500, dtype=np.uint16))
+    loader = TokenShardLoader(2, 10, split="train", data_dir=d)
+    for _ in range(50):  # rotates; must never enter the 10-token shard
+        x, _ = loader.next_batch()
+        assert x.shape == (2, 10)
+    import pytest as _pytest
+
+    d2 = str(tmp_path / "allsmall")
+    os.makedirs(d2)
+    write_token_shard(os.path.join(d2, "t_train_0"), np.arange(5, dtype=np.uint16))
+    with _pytest.raises(ValueError, match="full window"):
+        TokenShardLoader(2, 10, split="train", data_dir=d2)
