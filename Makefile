@@ -13,7 +13,7 @@ bench-decode:
 	python -m gpt2_vision_language_tpu.cli.bench_decode --uncached-baseline
 
 dryrun:
-	XLA_FLAGS=--xla_force_host_platform_device_count=8 python -c \
+	JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 python -c \
 		"import __graft_entry__ as g; g.dryrun_multichip(8)"
 
 clean:
