@@ -55,25 +55,48 @@ def make_train_step(
 
     def step(params, opt_state, batch, step_idx, extra=None):
         lr = cosine_warmup_lr(step_idx, sched_cfg)
-        p_for_grad = (
-            freeze(params, trainable_mask) if trainable_mask is not None else params
-        )
 
-        if extra is None:
-            grad_fn = jax.value_and_grad(loss_fn)
-        else:
-            grad_fn = jax.value_and_grad(lambda p, m: loss_fn(p, m, extra))
+        # The freeze (stop_gradient on frozen leaves) must be applied INSIDE
+        # the traced function being differentiated: stop_gradient applied to
+        # the *argument* of value_and_grad does nothing — grads are taken
+        # w.r.t. the argument itself, so frozen leaves would still receive
+        # full nonzero gradients (extra backward matmuls + fp32 grad HBM for
+        # the frozen 124M decoder in finetunes). With the freeze inside, the
+        # frozen cotangents are structural zeros that XLA dead-code
+        # eliminates, reproducing requires_grad_(False)
+        # (gpt2_linear/model.py:161-164).
+        def wrapped_loss(p, micro):
+            if trainable_mask is not None:
+                p = freeze(p, trainable_mask)
+            return loss_fn(p, micro) if extra is None else loss_fn(p, micro, extra)
+
+        grad_fn = jax.value_and_grad(wrapped_loss)
+
+        tmask = (
+            trainable_mask
+            if trainable_mask is not None
+            else jax.tree.map(lambda _: True, params)
+        )
 
         def body(carry, micro):
             gsum, lsum = carry
-            loss, grads = grad_fn(p_for_grad, micro)
+            loss, grads = grad_fn(params, micro)
             gsum = jax.tree.map(
-                lambda a, g: a + g.astype(jnp.float32), gsum, grads
+                lambda a, g, tr: a + g.astype(jnp.float32) if tr else a,
+                gsum,
+                grads,
+                tmask,
             )
             return (gsum, lsum + loss), None
 
         accum = jax.tree.leaves(batch)[0].shape[0]
-        gzero = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), params)
+        # frozen leaves carry scalar placeholders, not (shape) fp32 buffers:
+        # the frozen 124M decoder in finetunes costs 0 grad-accumulator HBM
+        gzero = jax.tree.map(
+            lambda p, tr: jnp.zeros(p.shape if tr else (), jnp.float32),
+            params,
+            tmask,
+        )
         (gsum, lsum), _ = jax.lax.scan(body, (gzero, jnp.float32(0.0)), batch)
         scale = 1.0 / accum
         grads = jax.tree.map(lambda g: g * scale, gsum)

@@ -171,6 +171,40 @@ def test_dp_sharded_matches_single_device():
     )
 
 
+def test_frozen_leaves_get_zero_grads():
+    """Regression: the freeze must sit INSIDE the differentiated function —
+    stop_gradient applied to value_and_grad's own argument does nothing, and
+    frozen leaves would receive full nonzero grads (wasted backward matmuls
+    + fp32 accumulator HBM for the frozen decoder in finetunes)."""
+    from gpt2_vision_language_tpu.train.optimizer import freeze
+
+    params = gpt2.init(jax.random.PRNGKey(0), SMALL)
+    tmask = jax.tree.map(lambda _: False, params)
+    tmask["lnf"] = jax.tree.map(lambda _: True, params["lnf"])
+
+    rng = np.random.RandomState(1)
+    batch = _batch(rng, 1, 2, 16)
+    micro = jax.tree.map(lambda a: a[0], batch)
+
+    grads = jax.grad(lambda p: _loss_fn(freeze(p, tmask), micro))(params)
+    assert float(jnp.abs(grads["wte"]).max()) == 0.0
+    assert float(jnp.abs(grads["blocks"]["attn"]["wqkv"]).max()) == 0.0
+    assert float(jnp.abs(grads["lnf"]["scale"]).max()) > 0.0
+
+    # and through make_train_step: frozen params must not move, trainable must
+    step = make_train_step(
+        _loss_fn,
+        OptimizerConfig(),
+        SCHED,
+        decay_mask=gpt2.decay_mask(params),
+        trainable_mask=tmask,
+        donate=False,
+    )
+    p2, _, _ = step(params, adamw_init(params), batch, jnp.int32(0))
+    np.testing.assert_array_equal(np.asarray(p2["wte"]), np.asarray(params["wte"]))
+    assert float(jnp.abs(p2["lnf"]["scale"] - params["lnf"]["scale"]).max()) > 0.0
+
+
 def test_eval_step():
     params = gpt2.init(jax.random.PRNGKey(0), SMALL)
     ev = make_eval_step(_loss_fn)
