@@ -33,12 +33,21 @@ def main():
     from gpt2_vision_language_tpu.train.optimizer import adamw_init
 
     cfg = GPTConfig()
-    b, t, accum = 16, 1024, 32  # the reference's exact production shape
-    # (524,288 tokens per optimizer step, train_gpt2.py:244-248)
+    b, t, accum = 8, 1024, 64  # 524,288 tokens per optimizer step — the
+    # reference's effective batch (train_gpt2.py:244-248). The micro-batch
+    # split is an implementation detail; measured on v5e-1:
+    #   B=16 remat=full  unfused CE        98.7k tok/s   (round-1 config)
+    #   B=16 remat=full  fused CE         100.3k
+    #   B=16 remat=none  fused CE ce=2     97.4k (fits only with chunked CE)
+    #   B=8  remat=none  fused CE ce=1    108.2k  <- this config
+    # No remat (fits thanks to fused CE + LN custom-vjp memory savings)
+    # skips the full forward recompute in the backward pass.
 
     def loss_fn(params, micro):
-        _, loss = gpt2.apply(params, micro["x"], cfg, targets=micro["y"], remat=True)
-        return loss
+        # fused chunked lm_head+CE (ops/fused_ce.py)
+        return gpt2.loss(
+            params, micro["x"], cfg, targets=micro["y"], remat=False, ce_chunks=1
+        )
 
     params = gpt2.init(jax.random.PRNGKey(0), cfg)
     opt_state = adamw_init(params)

@@ -26,6 +26,13 @@ def main(argv=None):
         help="generate a synthetic token corpus in a temp dir (smoke runs)",
     )
     p.add_argument("--devices", type=int, default=None)
+    p.add_argument(
+        "--remat",
+        choices=["none", "full", "save_attn", "recompute_gelu", "recompute_mlp"],
+        default="none",
+        help="activation rematerialization policy (none is fastest at 124M "
+        "on 16GB chips; use full for larger presets)",
+    )
     args = p.parse_args(argv)
 
     from ..core.config import PretrainConfig
@@ -50,7 +57,10 @@ def main(argv=None):
 
     from ..train.pretrain import run_pretrain
 
-    run_pretrain(cfg, max_steps_override=args.steps, num_devices=args.devices)
+    remat = {"none": False, "full": True}.get(args.remat, args.remat)
+    run_pretrain(
+        cfg, max_steps_override=args.steps, num_devices=args.devices, remat=remat
+    )
 
 
 if __name__ == "__main__":

@@ -96,6 +96,46 @@ def apply(
     return logits, loss
 
 
+def loss(
+    gpt_params,
+    bridge_params,
+    patch_tokens,
+    input_ids,
+    cfg: GPTConfig,
+    bridge_cfg: BridgeConfig,
+    *,
+    labels,
+    policy: Policy = DEFAULT_POLICY,
+    rng=None,
+    train: bool = False,
+    remat: bool = False,
+    ce_chunks: int = 8,
+):
+    """Training loss via the fused chunked lm_head+CE (ops/fused_ce.py):
+    identical semantics to apply(...)[1] — CE over the text positions
+    against ignore_index=-100 labels (gpt2_linear/model.py:205-210) —
+    without materializing (B, M+T, 50304) logits."""
+    from ..ops.layers import layer_norm
+
+    b, t_txt = input_ids.shape
+    img = embed_visual(
+        bridge_params, patch_tokens, bridge_cfg, policy=policy, rng=rng, train=train
+    )
+    m = img.shape[1]
+    assert m + t_txt <= cfg.block_size
+    txt = gpt2.embed_tokens(gpt_params, input_ids, cfg, pos_offset=0)
+    full = jnp.concatenate(
+        [img.astype(policy.compute_dtype), txt.astype(policy.compute_dtype)],
+        axis=1,
+    )
+    x = gpt2.run_blocks(gpt_params, full, cfg, policy=policy, remat=remat)
+    x = layer_norm(x, gpt_params["lnf"]["scale"], gpt_params["lnf"]["bias"])
+    x_txt = x[:, m : m + t_txt, :]
+    return gpt2.fused_ce_loss(
+        x_txt, gpt_params["wte"], labels, policy=policy, ce_chunks=ce_chunks
+    )
+
+
 def loss_fn_factory(
     cfg: GPTConfig,
     bridge_cfg: BridgeConfig,
@@ -103,6 +143,7 @@ def loss_fn_factory(
     policy: Policy = DEFAULT_POLICY,
     train: bool = True,
     remat: bool = False,
+    fused_ce: bool = True,
 ):
     """loss_fn(params={'gpt','bridge'}, micro={'x','y','mask','z','rng'?})
     for train/step.py. labels = y masked to -100 outside the caption
@@ -114,20 +155,33 @@ def loss_fn_factory(
         # only for training batches); Q-Former trains with dropout 0.1
         # (gpt2_q_former/model.py:116-131)
         rng = jax.random.PRNGKey(micro["seed"]) if "seed" in micro else None
-        _, loss = apply(
-            params["gpt"],
-            params["bridge"],
-            micro["z"],
-            micro["x"],
-            cfg,
-            bridge_cfg,
+        kwargs = dict(
             labels=labels,
             policy=policy,
             rng=rng,
             train=train and rng is not None,
             remat=remat,
         )
-        return loss
+        if fused_ce:
+            return loss(
+                params["gpt"],
+                params["bridge"],
+                micro["z"],
+                micro["x"],
+                cfg,
+                bridge_cfg,
+                **kwargs,
+            )
+        _, l = apply(
+            params["gpt"],
+            params["bridge"],
+            micro["z"],
+            micro["x"],
+            cfg,
+            bridge_cfg,
+            **kwargs,
+        )
+        return l
 
     return loss_fn
 
