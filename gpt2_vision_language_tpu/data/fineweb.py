@@ -129,6 +129,31 @@ class TokenShardLoader:
             xs[i], ys[i] = self.next_batch()
         return xs, ys
 
+    def next_accum_rowbuf(self, k: int) -> np.ndarray:
+        """(k, B, T+1) uint16 row buffers with 1-token overlap between
+        consecutive rows: row b = window[b*T : (b+1)*T + 1], so on device
+        x = rows[..., :-1] and y = rows[..., 1:] reproduce
+        x=buf[:-1], y=buf[1:] (train_gpt2.py:179-181).
+
+        Unlike the flat (B*T+1,) buffer this layout concatenates cleanly
+        across processes on the batch axis (each rank's rows are disjoint
+        (B,T) slices of the global batch plus their own shifted-target
+        token), so the same staging path serves single-host and multi-host
+        via parallel.mesh.shard_batch — at the same ~2 bytes/token
+        host->device cost."""
+        out = np.empty((k, self.B, self.T + 1), np.uint16)
+        n = self.B * self.T + 1
+        for i in range(k):
+            if self.use_native:
+                w = self.tokens.read(self.pos, n)
+            else:
+                w = np.asarray(self.tokens[self.pos : self.pos + n])
+            out[i] = np.lib.stride_tricks.sliding_window_view(
+                w.astype(np.uint16), self.T + 1
+            )[:: self.T]
+            self._advance()
+        return out
+
     def next_accum_buf(self, k: int) -> np.ndarray:
         """(k, B*T+1) uint16 raw buffers: x/y are derived ON DEVICE
         (split_xy_on_device), quartering host->device bytes vs int32 x+y."""
@@ -154,6 +179,15 @@ def split_xy_on_device(buf, b: int, t: int):
     x = buf[..., :-1].reshape(buf.shape[:-1] + (b, t))
     y = buf[..., 1:].reshape(buf.shape[:-1] + (b, t))
     return x, y
+
+
+def split_rows_on_device(rows):
+    """(..., B, T+1) uint16 row buffers -> (x, y) int32 (..., B, T) on
+    device (companion of next_accum_rowbuf)."""
+    import jax.numpy as jnp
+
+    rows = rows.astype(jnp.int32)
+    return rows[..., :-1], rows[..., 1:]
 
 
 def write_token_shard(path: str, tokens: np.ndarray) -> None:

@@ -80,21 +80,32 @@ def most_likely_row(tokens, mask, logits):
 
 
 class HellaSwagEvaluator:
-    """Batched jitted evaluation over fixed (batch, 4, L) shapes."""
+    """Batched jitted evaluation over bucketed (batch, 4, L) shapes.
+
+    Examples are scored at FULL length (the reference forwards each example
+    unclipped, train_gpt2.py:398-409): each batch is padded to the smallest
+    width bucket >= its longest row, so the jit compiles at most
+    len(buckets) programs. Examples longer than max_len (default: the
+    model's block_size, the hard ceiling) are SKIPPED and counted — never
+    scored truncated, which could flip predictions."""
 
     def __init__(
         self,
         cfg: GPTConfig,
         *,
         policy: Policy = DEFAULT_POLICY,
-        max_len: int = 256,
+        max_len: Optional[int] = None,
         batch_examples: int = 8,
     ):
         self.cfg = cfg
         self.policy = policy
-        self.max_len = max_len
+        self.max_len = max_len or cfg.block_size
         self.batch = batch_examples
-        self.truncated = 0  # examples whose tokens exceeded max_len
+        self.skipped_too_long = 0  # examples whose tokens exceeded max_len
+        self.buckets = sorted(
+            {b for b in (64, 128, 256, 512) if b < self.max_len}
+            | {self.max_len}
+        )
         self._predict = jax.jit(self._predict_impl)
 
     def _predict_impl(self, params, tokens, mask):
@@ -120,51 +131,73 @@ class HellaSwagEvaluator:
         world_size: int = 1,
         limit: Optional[int] = None,
     ):
-        """-> (num_correct, num_total) on this rank's shard of examples."""
+        """-> (num_correct, num_total) on this rank's shard of examples.
+
+        Multi-host (world_size > 1): params are global (non-addressable)
+        arrays, so every process MUST execute the same jitted programs the
+        same number of times — the evaluator uses one fixed width and pads
+        each rank's flush count to a common upper bound with dummy batches
+        (discarded), the SPMD analogue of the reference's round-robin shard
+        + all-reduce (train_gpt2.py:399,410-416). The caller sums
+        (correct, total) across processes."""
         tok_buf, mask_buf, labels = [], [], []
         correct = total = 0
+        lockstep = world_size > 1
 
         def flush():
             nonlocal correct, total
-            if not tok_buf:
-                return
             n = len(tok_buf)
-            pad_n = self.batch - n
-            tokens = np.zeros((self.batch, 4, self.max_len), np.int32)
-            mask = np.zeros((self.batch, 4, self.max_len), bool)
+            if lockstep or n == 0:
+                width = self.max_len
+            else:
+                lmax = max(t.shape[1] for t in tok_buf)
+                width = next(b for b in self.buckets if b >= lmax)
+            tokens = np.zeros((self.batch, 4, width), np.int32)
+            mask = np.zeros((self.batch, 4, width), bool)
             for i, (t, m) in enumerate(zip(tok_buf, mask_buf)):
-                if t.shape[1] > self.max_len:
-                    # scores for clipped completions are unreliable; count
-                    # them so callers can widen max_len (reference never
-                    # truncates — it forwards each example at full length)
-                    self.truncated += 1
-                L = min(t.shape[1], self.max_len)
-                tokens[i, :, :L] = t[:, :L]
-                mask[i, :, :L] = m[:, :L]
+                L = t.shape[1]
+                tokens[i, :, :L] = t
+                mask[i, :, :L] = m
             preds = np.asarray(self._predict(params, tokens, mask))
             for i in range(n):
                 total += 1
                 correct += int(preds[i] == labels[i])
-            del pad_n
             tok_buf.clear()
             mask_buf.clear()
             labels.clear()
 
+        n_examples = 0
+        flushes = 0
         for i, ex in enumerate(iterate_examples(split, data_dir)):
             if limit is not None and i >= limit:
                 break
+            n_examples += 1
             if i % world_size != rank:
                 continue
             t, m, label = render_example(ex, tokenizer)
+            if t.shape[1] > self.max_len:
+                self.skipped_too_long += 1
+                continue
             tok_buf.append(t)
             mask_buf.append(m)
             labels.append(label)
             if len(tok_buf) == self.batch:
                 flush()
-        flush()
-        if self.truncated:
+                flushes += 1
+        if tok_buf:
+            flush()
+            flushes += 1
+        if lockstep:
+            # upper bound on ANY rank's flush count (skips only reduce it)
+            per_rank = -(-n_examples // world_size)
+            need = -(-per_rank // self.batch)
+            while flushes < need:
+                flush()  # dummy: empty buffers, results discarded
+                flushes += 1
+        if self.skipped_too_long:
             print(
-                f"[hellaswag] WARNING: {self.truncated} examples exceeded "
-                f"max_len={self.max_len} and were truncated"
+                f"[hellaswag] WARNING: {self.skipped_too_long} examples "
+                f"exceeded max_len={self.max_len} and were skipped "
+                "(not scored)"
             )
         return correct, total

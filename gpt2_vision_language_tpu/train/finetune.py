@@ -166,7 +166,7 @@ def run_finetune(
 
         def loss_fn(p, micro, bank):
             z = jnp.take(bank, micro["idx"], axis=0)
-            _, loss = gpt2.apply(
+            return gpt2.loss(
                 p,
                 micro["x"],
                 model_cfg,
@@ -175,7 +175,6 @@ def run_finetune(
                 target_mask=micro["mask"],
                 policy=policy,
             )
-            return loss
 
     else:
         bridge_params = caption.init(
@@ -266,28 +265,33 @@ def run_finetune(
         log.val(step, val_loss)
         if master:
             manager.save_step(step, params, opt_state, val_loss, last_step=last_step)
-            try:
-                if kind == "xattn":
-                    gp, bp, bc = params, None, None
-                else:
-                    gp, bp, bc = params["gpt"], params["bridge"], cfg.bridge
-                out = evaluate_captions(
-                    gp,
-                    bp,
-                    val_ds,
-                    model_cfg,
-                    bc,
-                    tokenizer,
-                    max_samples=cfg.cider_samples,
-                    max_new_tokens=cfg.cider_max_new_tokens,
-                    policy=policy,
-                    feature_bank=val_bank,
-                    decoder=cider_decoder,
-                )
-                log.cider(step, out["cider"])
-            except Exception as e:  # noqa: BLE001 — reference parity:
-                # training survives eval crashes (gpt2_linear/train.py:271)
-                print(f"[CIDEr] evaluation failed at step {step}: {e}")
+        # CIDEr runs on EVERY process: the jitted decode reads the global
+        # (non-addressable on multi-host) params, so skipping it on
+        # non-master processes would deadlock the next collective program.
+        # All processes decode the same samples (redundant but safe);
+        # only the master logs.
+        try:
+            if kind == "xattn":
+                gp, bp, bc = params, None, None
+            else:
+                gp, bp, bc = params["gpt"], params["bridge"], cfg.bridge
+            out = evaluate_captions(
+                gp,
+                bp,
+                val_ds,
+                model_cfg,
+                bc,
+                tokenizer,
+                max_samples=cfg.cider_samples,
+                max_new_tokens=cfg.cider_max_new_tokens,
+                policy=policy,
+                feature_bank=val_bank,
+                decoder=cider_decoder,
+            )
+            log.cider(step, out["cider"])
+        except Exception as e:  # noqa: BLE001 — reference parity:
+            # training survives eval crashes (gpt2_linear/train.py:271)
+            print(f"[CIDEr] evaluation failed at step {step}: {e}")
 
     use_dropout = kind == "qformer"  # only the Q-Former has dropout sites
     prefetch = HostPrefetcher(

@@ -22,7 +22,7 @@ import numpy as np
 from ..core.config import PretrainConfig
 from ..core.precision import Policy, DEFAULT_POLICY
 from ..models import gpt2
-from ..data.fineweb import TokenShardLoader, split_xy_on_device
+from ..data.fineweb import TokenShardLoader, split_rows_on_device
 from ..data.pipeline import HostPrefetcher
 from ..data.tokenizer import get_tokenizer
 from ..eval.hellaswag import HellaSwagEvaluator
@@ -30,7 +30,12 @@ from ..infer.decode import Decoder
 from ..infer.sampling import sample_top_k
 from ..obs.csvlog import MetricsLogger, ProfilerHook
 from ..ckpt.checkpoint import CheckpointManager
-from ..parallel.mesh import make_mesh, is_master, maybe_init_distributed
+from ..parallel.mesh import (
+    make_mesh,
+    shard_batch,
+    is_master,
+    maybe_init_distributed,
+)
 from .optimizer import adamw_init
 from .step import make_train_step, make_eval_step
 
@@ -40,7 +45,7 @@ def run_pretrain(
     *,
     policy: Policy = DEFAULT_POLICY,
     max_steps_override: Optional[int] = None,
-    remat: bool = True,
+    remat=False,
     num_devices: Optional[int] = None,
 ) -> dict:
     """Run the pretrain loop. Returns final params + summary metrics."""
@@ -74,23 +79,16 @@ def run_pretrain(
     model_cfg = cfg.model
 
     b, t = cfg.micro_batch_size * world, cfg.seq_len
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    batch_sh = NamedSharding(mesh, P("data", None)) if world > 1 else None
 
     def loss_fn(params, micro):
-        # micro is a raw (B*T+1,) uint16 buffer (~4x fewer bytes over the
-        # host->device link than int32 x+y); split on device
-        x, y = split_xy_on_device(micro["buf"], b, t)
-        if batch_sh is not None:
-            # pin DP batch sharding — the tiny replicated buf would otherwise
-            # let GSPMD replicate the whole forward
-            x = jax.lax.with_sharding_constraint(x, batch_sh)
-            y = jax.lax.with_sharding_constraint(y, batch_sh)
-        _, loss = gpt2.apply(
+        # micro["rows"] is a (B, T+1) uint16 row buffer (~2 bytes/token over
+        # the host->device link vs 8 for int32 x+y), batch-sharded over the
+        # "data" mesh axis by shard_batch; x/y derive on device
+        x, y = split_rows_on_device(micro["rows"])
+        # fused chunked lm_head+CE: never materializes (B, T, 50304) logits
+        return gpt2.loss(
             params, x, model_cfg, targets=y, policy=policy, remat=remat
         )
-        return loss
 
     params = gpt2.init(jax.random.PRNGKey(cfg.seed), model_cfg)
     opt_state = adamw_init(params)
@@ -125,11 +123,17 @@ def run_pretrain(
             print(f"[ckpt] resumed from {manager.last_path} at step {start_step}")
 
     max_steps = max_steps_override or cfg.schedule.max_steps
-    # double-buffered host pipeline: prepare + device_put the next accum
-    # window while the current step runs
+    # double-buffered host pipeline: prepare + stage the next accum window
+    # while the current step runs. shard_batch places each process's rows
+    # directly on its mesh devices (no device-0 hop) and assembles the
+    # global batch across hosts via make_array_from_process_local_data —
+    # the SPMD equivalent of per-rank DataLoader striding
+    # (train_gpt2.py:175,182).
+    stage = lambda rows: shard_batch(
+        mesh, {"rows": rows}, leading_accum_axis=True
+    )
     prefetch = HostPrefetcher(
-        lambda: train_loader.next_accum_buf(accum),
-        stage=lambda buf: {"buf": jax.device_put(jnp.asarray(buf))},
+        lambda: train_loader.next_accum_rowbuf(accum), stage=stage
     )
     hellaswag_dir_ok = os.path.isdir(
         os.environ.get("HELLASWAG_DIR", "hellaswag")
@@ -143,8 +147,7 @@ def run_pretrain(
 
         if step % cfg.val_every == 0 or last_step:
             val_loader.reset()
-            vbuf = val_loader.next_accum_buf(cfg.val_steps)
-            vbatch = {"buf": jnp.asarray(vbuf)}
+            vbatch = stage(val_loader.next_accum_rowbuf(cfg.val_steps))
             val_loss = float(eval_step(params, vbatch))
             log.val(step, val_loss)
             if master:
@@ -157,11 +160,25 @@ def run_pretrain(
             and hellaswag_dir_ok
             and (step % cfg.hellaswag_every == 0 or last_step)
         ):
-            correct, total = hella.evaluate(params, tokenizer)
+            # examples sharded round-robin by process, counts summed across
+            # processes (reference: train_gpt2.py:399,410-416)
+            correct, total = hella.evaluate(
+                params, tokenizer, rank=rank, world_size=procs
+            )
+            if procs > 1:
+                from jax.experimental import multihost_utils
+
+                counts = multihost_utils.process_allgather(
+                    np.asarray([correct, total], np.int64)
+                )
+                correct, total = int(counts[:, 0].sum()), int(counts[:, 1].sum())
             if total:
                 log.hellaswag(step, correct / total, correct, total)
 
-        if ((step > 0 and step % cfg.sample_every == 0) or last_step) and master:
+        if (step > 0 and step % cfg.sample_every == 0) or last_step:
+            # every process runs the (SPMD) generation over the global
+            # params — only rank 0 prints. Skipping the jitted computation
+            # on non-master processes would deadlock a multi-host run.
             prompt = tokenizer.encode("Hello, I'm a language model,")
             ids = jnp.asarray([prompt] * 4, jnp.int32)
             # per-rank seed 42+rank, re-seeded each sampling event
@@ -170,9 +187,10 @@ def run_pretrain(
                 params, ids, max(1, 32 - len(prompt)),
                 jax.random.PRNGKey(42 + jax.process_index()),
             )
-            for i in range(4):
-                text = tokenizer.decode(prompt + np.asarray(toks[i]).tolist())
-                print(f"sample {i}: {text}")
+            if master:
+                for i in range(4):
+                    text = tokenizer.decode(prompt + np.asarray(toks[i]).tolist())
+                    print(f"sample {i}: {text}")
 
         batch = prefetch.next()
         params, opt_state, metrics = train_step(

@@ -74,6 +74,46 @@ def test_evaluator_runs(tmp_path):
     assert 0 <= correct <= 6
 
 
+def test_evaluator_scores_long_examples_full_length(tmp_path):
+    """A >256-token example must be scored unclipped (the reference forwards
+    each example at full length, train_gpt2.py:398-409) and batch padding
+    must not change the prediction."""
+    cfg = GPTConfig(block_size=512, vocab_size=128, n_layer=1, n_head=2, n_embd=32)
+    tok = ByteFallbackTokenizer()
+    params = gpt2.init(jax.random.PRNGKey(0), cfg)
+    ex = {"ctx": "x" * 300, "endings": ["aa", "bb", "cc", "dd"], "label": 0}
+    tokens, mask, _ = render_example(ex, tok)
+    assert tokens.shape[1] > 256
+    logits, _ = gpt2.apply(params, jnp.asarray(tokens), cfg, policy=FP32_POLICY)
+    pred = int(most_likely_row(jnp.asarray(tokens), jnp.asarray(mask), logits))
+    ex["label"] = pred
+    with open(tmp_path / "hellaswag_val.jsonl", "w") as f:
+        f.write(json.dumps(ex) + "\n")
+    ev = HellaSwagEvaluator(cfg, policy=FP32_POLICY, batch_examples=2)
+    correct, total = ev.evaluate(params, tok, data_dir=str(tmp_path))
+    assert (correct, total) == (1, 1)
+    assert ev.skipped_too_long == 0
+
+
+def test_evaluator_skips_overlong_examples(tmp_path):
+    """Examples longer than max_len are excluded from (correct, total), not
+    scored truncated (truncation can flip predictions)."""
+    _write_dataset(tmp_path / "hellaswag_val.jsonl", n=3)
+    with open(tmp_path / "hellaswag_val.jsonl", "a") as f:
+        f.write(
+            json.dumps(
+                {"ctx": "y" * 200, "endings": ["a", "b", "c", "d"], "label": 1}
+            )
+            + "\n"
+        )
+    tok = ByteFallbackTokenizer()
+    params = gpt2.init(jax.random.PRNGKey(0), SMALL)
+    ev = HellaSwagEvaluator(SMALL, policy=FP32_POLICY, batch_examples=4)
+    correct, total = ev.evaluate(params, tok, data_dir=str(tmp_path))
+    assert total == 3
+    assert ev.skipped_too_long == 1
+
+
 def test_evaluator_rank_sharding(tmp_path):
     _write_dataset(tmp_path / "hellaswag_val.jsonl")
     tok = ByteFallbackTokenizer()

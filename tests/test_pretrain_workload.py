@@ -58,6 +58,35 @@ def test_pretrain_runs_and_logs(tiny_cfg, tmp_path):
     assert "model_last.npz" in ckpts  # written on the last step
 
 
+def test_pretrain_dp8_matches_single_device(tiny_cfg, tmp_path):
+    """The pretrain workload on an 8-device DP mesh (batches staged through
+    shard_batch, no device-0 hop) must reproduce the single-device run at the
+    same global batch: same data order (single process), same losses."""
+    from gpt2_vision_language_tpu.train.pretrain import run_pretrain
+
+    base = dataclasses.replace(
+        tiny_cfg,
+        total_batch_size=16 * 32 * 2,  # accum 2 at global batch 16
+        schedule=dataclasses.replace(tiny_cfg.schedule, max_steps=3),
+        val_every=2,
+    )
+    cfg8 = dataclasses.replace(
+        base, micro_batch_size=2, log_dir=str(tmp_path / "log8")
+    )
+    cfg1 = dataclasses.replace(
+        base, micro_batch_size=16, log_dir=str(tmp_path / "log1")
+    )
+    out8 = run_pretrain(cfg8, policy=FP32_POLICY, num_devices=8)
+    out1 = run_pretrain(cfg1, policy=FP32_POLICY, num_devices=1)
+    np.testing.assert_allclose(out8["val_loss"], out1["val_loss"], rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out8["params"]["wte"]),
+        np.asarray(out1["params"]["wte"]),
+        rtol=1e-4,
+        atol=1e-6,
+    )
+
+
 def test_pretrain_resume(tiny_cfg):
     """Kill after 6 steps, resume must continue from step 7 with state."""
     from gpt2_vision_language_tpu.train.pretrain import run_pretrain
