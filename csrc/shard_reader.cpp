@@ -209,17 +209,33 @@ int sr_read_i32(void* handle, long long offset, long long count, int32_t* out) {
       s->map + s->info.data_offset + offset * s->info.elem_size;
   switch (s->info.elem_size) {
     case 2: {
-      auto* p = reinterpret_cast<const uint16_t*>(base);
-      for (long long i = 0; i < count; ++i) out[i] = p[i];
+      if (s->info.kind == 'i') {  // '<i2': sign-extend
+        auto* p = reinterpret_cast<const int16_t*>(base);
+        for (long long i = 0; i < count; ++i) out[i] = p[i];
+      } else {  // '<u2' (the GPT-2 token-shard format, train_gpt2.py:151)
+        auto* p = reinterpret_cast<const uint16_t*>(base);
+        for (long long i = 0; i < count; ++i) out[i] = p[i];
+      }
       break;
     }
     case 4: {
-      memcpy(out, base, count * 4);
+      if (s->info.kind == 'u') {  // '<u4': values >= 2^31 don't fit int32
+        auto* p = reinterpret_cast<const uint32_t*>(base);
+        for (long long i = 0; i < count; ++i) {
+          if (p[i] > static_cast<uint32_t>(INT32_MAX)) return -2;
+          out[i] = static_cast<int32_t>(p[i]);
+        }
+      } else {
+        memcpy(out, base, count * 4);
+      }
       break;
     }
     case 8: {
       auto* p = reinterpret_cast<const int64_t*>(base);
-      for (long long i = 0; i < count; ++i) out[i] = static_cast<int32_t>(p[i]);
+      for (long long i = 0; i < count; ++i) {
+        if (p[i] < 0 || p[i] > INT32_MAX) return -2;
+        out[i] = static_cast<int32_t>(p[i]);
+      }
       break;
     }
     default:

@@ -69,3 +69,23 @@ def test_loader_native_matches_numpy(tmp_path):
         xp, yp = lp.next_batch()
         np.testing.assert_array_equal(xn, xp)
         np.testing.assert_array_equal(yn, yp)
+
+
+def test_reader_dtype_semantics(tmp_path):
+    """'<i2' negatives sign-extend; int64 values outside int32 range are a
+    clean error, not a silent wrap."""
+    from gpt2_vision_language_tpu.data.native import NativeShardReader
+
+    p16 = str(tmp_path / "i2.npy")
+    np.save(p16, np.asarray([-5, 0, 7, -32768], dtype=np.int16))
+    r = NativeShardReader(p16)
+    np.testing.assert_array_equal(r.read(0, 4), [-5, 0, 7, -32768])
+    r.close()
+
+    p64 = str(tmp_path / "i8.npy")
+    np.save(p64, np.asarray([1, 2**40], dtype=np.int64))
+    r = NativeShardReader(p64)
+    np.testing.assert_array_equal(r.read(0, 1), [1])
+    with pytest.raises(IOError):
+        r.read(0, 2)  # 2**40 does not fit int32
+    r.close()
