@@ -1,0 +1,106 @@
+"""Serialize a tiktoken byte-level BPE into encoder.json + vocab.bpe.
+
+The reference tokenizes with tiktoken's GPT-2 BPE (train_gpt2.py:241),
+whose data files live behind a network fetch. On an online machine,
+
+    python -m gpt2_vision_language_tpu.cli.export_bpe --out $GPT2_BPE_DIR
+
+writes the classic `encoder.json` / `vocab.bpe` pair that
+`data.tokenizer.LocalBpeTokenizer` consumes fully offline — after which
+every air-gapped run tokenizes with the REAL GPT-2 vocabulary instead of
+the byte-fallback.
+
+tiktoken exposes only `mergeable_ranks` (token bytes -> rank), not the
+merge list; the merges are recovered per token by running the BPE merge
+loop restricted to strictly lower ranks — the final two parts of a rank-r
+token are exactly the pair whose merge created it. (Standard recovery,
+same as HF's tiktoken conversion.)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Tuple
+
+
+def bytes_to_unicode() -> Dict[int, str]:
+    """GPT-2's printable byte<->unicode table (same as
+    tokenizer.LocalBpeTokenizer._bytes_to_unicode)."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("\xa1"), ord("\xac") + 1))
+        + list(range(ord("\xae"), ord("\xff") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, map(chr, cs)))
+
+
+def _bpe_parts(ranks: Dict[bytes, int], token: bytes, max_rank: int) -> List[bytes]:
+    """Merge `token`'s bytes using only merges with rank < max_rank."""
+    parts = [bytes([b]) for b in token]
+    while len(parts) > 1:
+        best_rank, best_i = None, None
+        for i in range(len(parts) - 1):
+            r = ranks.get(parts[i] + parts[i + 1])
+            if r is not None and r < max_rank and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        parts = (
+            parts[:best_i]
+            + [parts[best_i] + parts[best_i + 1]]
+            + parts[best_i + 2 :]
+        )
+    return parts
+
+
+def merges_from_mergeable_ranks(
+    ranks: Dict[bytes, int],
+) -> List[Tuple[bytes, bytes]]:
+    """Recover the ordered merge list from token->rank."""
+    merges = []
+    for token, rank in sorted(ranks.items(), key=lambda kv: kv[1]):
+        if len(token) == 1:
+            continue
+        parts = _bpe_parts(ranks, token, rank)
+        assert len(parts) == 2, (
+            f"token {token!r} (rank {rank}) did not decompose into a merge "
+            f"pair: {parts!r} — not a byte-level BPE?"
+        )
+        merges.append((parts[0], parts[1]))
+    return merges
+
+
+def export_bpe(out_dir: str, encoding=None, *, specials=("<|endoftext|>",)) -> None:
+    """Write encoder.json + vocab.bpe for `encoding` (default: tiktoken
+    'gpt2', requires its data to be fetchable/cached)."""
+    if encoding is None:
+        import tiktoken
+
+        encoding = tiktoken.get_encoding("gpt2")
+    ranks = encoding._mergeable_ranks
+    byte_enc = bytes_to_unicode()
+
+    def to_str(tok: bytes) -> str:
+        return "".join(byte_enc[b] for b in tok)
+
+    encoder = {to_str(tok): rank for tok, rank in ranks.items()}
+    for name in specials:
+        if name in getattr(encoding, "_special_tokens", {}):
+            encoder[name] = encoding._special_tokens[name]
+    merges = merges_from_mergeable_ranks(ranks)
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "encoder.json"), "w") as f:
+        json.dump(encoder, f, ensure_ascii=False)
+    with open(os.path.join(out_dir, "vocab.bpe"), "w", encoding="utf-8") as f:
+        f.write("#version: 0.2\n")
+        for a, b in merges:
+            f.write(f"{to_str(a)} {to_str(b)}\n")

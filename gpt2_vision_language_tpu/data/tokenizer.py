@@ -163,4 +163,17 @@ def get_tokenizer(prefer: Optional[str] = None):
             return LocalBpeTokenizer(enc_p, bpe_p)
         if prefer == "local-bpe":
             raise FileNotFoundError(f"GPT2_BPE_DIR files not found in {bpe_dir!r}")
+    import sys
+
+    print(
+        "=" * 70
+        + "\nWARNING: falling back to the BYTE-FALLBACK tokenizer — neither\n"
+        "tiktoken's GPT-2 data nor $GPT2_BPE_DIR/encoder.json+vocab.bpe are\n"
+        "available. Token ids will NOT match the real GPT-2 BPE: decoding\n"
+        "against real-vocab checkpoints produces garbage and eval numbers\n"
+        "are not comparable. Run\n"
+        "  python -m gpt2_vision_language_tpu.cli.export_bpe --out gpt2_bpe\n"
+        "on an online machine and set GPT2_BPE_DIR to the result.\n" + "=" * 70,
+        file=sys.stderr,
+    )
     return ByteFallbackTokenizer()

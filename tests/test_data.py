@@ -54,6 +54,83 @@ def test_local_bpe(tmp_path):
     assert tok.decode(ids) == "hello"
 
 
+def _synthetic_tiktoken():
+    tiktoken = pytest.importorskip("tiktoken")
+    ranks = {bytes([b]): b for b in range(256)}
+    for tok in (b"he", b"ll", b"hell", b"hello", b" w", b"or", b" wor",
+                b"ld", b" world"):
+        ranks[tok] = len(ranks)
+    return tiktoken.Encoding(
+        name="synthetic",
+        pat_str=r"""'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+""",
+        mergeable_ranks=ranks,
+        special_tokens={"<|endoftext|>": len(ranks)},
+    )
+
+
+def test_bpe_export_recovers_merges():
+    """merges_from_mergeable_ranks must reconstruct the exact ordered merge
+    list from tiktoken's token->rank map."""
+    from gpt2_vision_language_tpu.data.bpe_export import (
+        merges_from_mergeable_ranks,
+    )
+
+    enc = _synthetic_tiktoken()
+    merges = merges_from_mergeable_ranks(enc._mergeable_ranks)
+    assert merges == [
+        (b"h", b"e"),
+        (b"l", b"l"),
+        (b"he", b"ll"),
+        (b"hell", b"o"),
+        (b" ", b"w"),
+        (b"o", b"r"),
+        (b" w", b"or"),
+        (b"l", b"d"),
+        (b" wor", b"ld"),
+    ]
+
+
+def test_bpe_export_local_equivalence(tmp_path):
+    """export_bpe -> LocalBpeTokenizer must encode identically to the
+    tiktoken Encoding it was exported from (the offline proof that the
+    exporter + local BPE reproduce tiktoken; the same path serializes the
+    real GPT-2 tables on an online machine)."""
+    from gpt2_vision_language_tpu.data.bpe_export import export_bpe
+
+    enc = _synthetic_tiktoken()
+    export_bpe(str(tmp_path), encoding=enc)
+    local = LocalBpeTokenizer(
+        str(tmp_path / "encoder.json"), str(tmp_path / "vocab.bpe")
+    )
+    for s in ("hello", "hello world", "hell or hello", "xyz hello!"):
+        assert local.encode(s) == enc.encode(s), s
+        assert local.decode(local.encode(s)) == s
+    assert local.eot_token == enc._special_tokens["<|endoftext|>"]
+
+
+def test_bpe_export_real_gpt2_equivalence(tmp_path):
+    """Full-vocab equivalence vs tiktoken's real GPT-2 (needs network or a
+    warm tiktoken cache; skipped air-gapped)."""
+    tiktoken = pytest.importorskip("tiktoken")
+    try:
+        enc = tiktoken.get_encoding("gpt2")
+    except Exception:
+        pytest.skip("tiktoken gpt2 data unavailable (no network)")
+    from gpt2_vision_language_tpu.data.bpe_export import export_bpe
+
+    export_bpe(str(tmp_path), encoding=enc)
+    local = LocalBpeTokenizer(
+        str(tmp_path / "encoder.json"), str(tmp_path / "vocab.bpe")
+    )
+    assert local.n_vocab == 50257
+    for s in (
+        "Hello, I'm a language model,",
+        "The quick brown fox jumps over 1234 lazy dogs!",
+        "  multiple   spaces\nand newlines",
+    ):
+        assert local.encode(s) == enc.encode(s), s
+
+
 def test_shard_loader_parity_semantics(tmp_path):
     """Striding/wrapping must match DataLoaderLite (train_gpt2.py:154-187)."""
     d = str(tmp_path)
