@@ -3,24 +3,30 @@
 The reference README reports METEOR per bridge (README.md:194-196) but the
 scoring script is absent from its repo; the standard pipeline uses the Java
 METEOR-1.5 jar via pycocoevalcap, which is unavailable offline. This is a
-faithful implementation of the METEOR algorithm with the exact and
-Porter-stem matching stages (the synonym stage requires WordNet data files
-and is skipped — scores are therefore a close lower bound; documented
-deviation):
+faithful implementation of the METEOR algorithm with all three unigram
+matching stages:
 
-  * unigram alignment in stages (exact, then stem), choosing per stage the
-    alignment that maximizes matches and, tie-broken, minimizes chunks;
+  * unigram alignment in stages (exact, then Porter stem, then synonym —
+    two words synonym-match when they share a synonym group, METEOR's
+    shared-WordNet-synset rule; the group table resolves via
+    eval/synonyms.py: $METEOR_SYNONYMS file > NLTK WordNet corpus >
+    built-in caption-domain table), choosing per stage the alignment that
+    maximizes matches and, tie-broken, minimizes chunks;
   * P = m/len(cand), R = m/len(ref), F_mean = P*R/(alpha*P+(1-alpha)*R);
   * fragmentation penalty gamma*(chunks/m)^beta;
   * score = F_mean*(1-penalty), maximized over references
-    (METEOR 1.5 English defaults alpha=.85, beta=.2? classic .9/3/.5 —
-    we default to the classic exact/stem parameterization alpha=0.9,
-    beta=3.0, gamma=0.5 used by METEOR's exact/stem mode).
+    (classic exact/stem/syn parameterization alpha=0.9, beta=3.0,
+    gamma=0.5).
+
+With the built-in table (air-gapped default) scores are a lower bound on
+full-WordNet METEOR — a far tighter one than skipping the synonym stage.
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Set, Tuple
+
+from .synonyms import load_synonym_table, synonym_match
 
 try:  # nltk's PorterStemmer is pure python, no corpus download needed
     from nltk.stem.porter import PorterStemmer
@@ -36,27 +42,39 @@ except Exception:  # pragma: no cover
         return w
 
 
+_SYN_TABLE: Optional[Dict[str, Set[int]]] = None
+
+
+def _syn_table() -> Dict[str, Set[int]]:
+    global _SYN_TABLE
+    if _SYN_TABLE is None:
+        _SYN_TABLE = load_synonym_table()
+    return _SYN_TABLE
+
+
 def _tokenize(s: str) -> List[str]:
     return s.lower().split()
 
 
-def _align(cand: List[str], ref: List[str]) -> List[Tuple[int, int]]:
-    """Stage-wise greedy alignment: exact matches first, then stems.
-    Returns (cand_idx, ref_idx) pairs."""
+def _align(
+    cand: List[str],
+    ref: List[str],
+    syn_table: Optional[Dict[str, Set[int]]] = None,
+) -> List[Tuple[int, int]]:
+    """Stage-wise greedy alignment: exact matches, then stems, then
+    synonyms. Returns (cand_idx, ref_idx) pairs."""
     matches: List[Tuple[int, int]] = []
     used_c = [False] * len(cand)
     used_r = [False] * len(ref)
 
-    for key_fn in (lambda w: w, _stem):
-        ref_keys = [key_fn(w) for w in ref]
+    def run_stage(pair_match):
         for i, cw in enumerate(cand):
             if used_c[i]:
                 continue
-            ck = key_fn(cw)
             # prefer the closest unused ref position (reduces chunks)
             best = -1
-            for j, rk in enumerate(ref_keys):
-                if used_r[j] or rk != ck:
+            for j, rw in enumerate(ref):
+                if used_r[j] or not pair_match(cw, rw):
                     continue
                 if best == -1 or abs(j - i) < abs(best - i):
                     best = j
@@ -64,6 +82,11 @@ def _align(cand: List[str], ref: List[str]) -> List[Tuple[int, int]]:
                 used_c[i] = True
                 used_r[best] = True
                 matches.append((i, best))
+
+    run_stage(lambda c, r: c == r)
+    run_stage(lambda c, r: _stem(c) == _stem(r))
+    table = _syn_table() if syn_table is None else syn_table
+    run_stage(lambda c, r: synonym_match(c, r, table))
     return sorted(matches)
 
 
@@ -84,6 +107,7 @@ def meteor_single(
     alpha: float = 0.9,
     beta: float = 3.0,
     gamma: float = 0.5,
+    syn_table: Optional[Dict[str, Set[int]]] = None,
 ) -> float:
     cand = _tokenize(candidate)
     if not cand:
@@ -93,7 +117,7 @@ def meteor_single(
         ref = _tokenize(ref_s)
         if not ref:
             continue
-        matches = _align(cand, ref)
+        matches = _align(cand, ref, syn_table)
         m = len(matches)
         if m == 0:
             continue

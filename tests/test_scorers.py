@@ -80,3 +80,57 @@ def test_meteor_corpus():
     res = {k: [v[0]] for k, v in gts.items()}
     mean, per = meteor_score(gts, res)
     assert mean > 0.99 and len(per) == 3
+
+
+def test_meteor_synonym_stage():
+    """Synonym matches (shared group: bicycle/bike, man/guy) must raise the
+    score above stem-only matching (round-1 documented gap, now closed)."""
+    from gpt2_vision_language_tpu.eval.synonyms import parse_groups
+
+    syn = meteor_single("a man riding a bicycle", ["a guy riding a bike"])
+    no_syn = meteor_single(
+        "a man riding a bicycle",
+        ["a guy riding a bike"],
+        syn_table=parse_groups([]),  # empty table disables the stage
+    )
+    assert syn > no_syn
+    assert syn > 0.9, syn  # all 5 unigrams align (2 via synonyms)
+
+
+def test_synonym_table_env_file(tmp_path, monkeypatch):
+    from gpt2_vision_language_tpu.eval import synonyms
+
+    f = tmp_path / "syn.txt"
+    f.write_text("frobnicate, twiddle\nxyzzy plugh\n")
+    monkeypatch.setenv("METEOR_SYNONYMS", str(f))
+    table = synonyms.load_synonym_table()
+    assert synonyms.synonym_match("frobnicate", "twiddle", table)
+    assert synonyms.synonym_match("xyzzy", "plugh", table)
+    assert not synonyms.synonym_match("frobnicate", "plugh", table)
+
+
+def test_synonym_match_is_groupwise():
+    from gpt2_vision_language_tpu.eval.synonyms import (
+        load_synonym_table,
+        synonym_match,
+    )
+
+    table = load_synonym_table()
+    assert synonym_match("couch", "sofa", table)
+    assert synonym_match("photo", "picture", table)
+    assert not synonym_match("couch", "photo", table)
+    assert not synonym_match("unknownword", "sofa", table)
+
+
+def test_wordnet_export_when_available():
+    """Full-WordNet table export (networked machines); skips air-gapped."""
+    import pytest
+
+    from gpt2_vision_language_tpu.eval import synonyms
+
+    try:
+        groups = synonyms.wordnet_groups()
+    except Exception:
+        pytest.skip("NLTK wordnet corpus not installed (air-gapped)")
+    table = synonyms.parse_groups(" ".join(g) for g in groups)
+    assert synonyms.synonym_match("car", "automobile", table)
