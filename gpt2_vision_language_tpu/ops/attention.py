@@ -46,13 +46,16 @@ def sdpa(q, k, v, *, causal: bool, impl: str = "auto"):
     1/sqrt(head_dim), softmax in fp32.
     """
     if impl == "auto":
+        # Measured on v5e-1 (bf16, hs=64, fwd+bwd): flash ~= XLA at T
+        # 512-768, 1.28x at 1024, 3.6x at 4096, 31x at 8192 (streamed);
+        # XLA wins below 512 (caption T=65: 0.6x, CLIP T=257: 0.7x). Any
+        # T works since the kernel block-pads ragged lengths.
         use_flash = (
             causal
             and _flash_available()
             and _on_tpu()
             and q.shape[2] == k.shape[2]
-            and q.shape[2] >= 256
-            and q.shape[2] % 128 == 0
+            and q.shape[2] >= 512
         )
         impl = "flash" if use_flash else "xla"
     if impl == "flash":

@@ -2,15 +2,30 @@
 
 TPU-native replacement for the reference's FlashAttention CUDA kernel
 reached via `F.scaled_dot_product_attention` (train_gpt2.py:40). Blockwise
-online-softmax: the (T, T) score matrix never exists in HBM; per-block
+online-softmax: the (Tq, Tk) score matrix never exists in HBM; per-block
 scores live in VMEM, matmuls hit the MXU in bf16 with fp32 accumulation.
 
-Layout: inputs (B, H, T, hs) are collapsed to (BH, T, hs). Grid is
-(BH, num_q_blocks); K/V for one (b, h) fit comfortably in VMEM at the
-sequence lengths this framework targets (T <= 4096), so each grid step
-streams K/V blocks from VMEM with `pl.ds` while the causal loop bound
-(`iq + 1` blocks) skips the strictly-upper-triangular work — ~2x FLOP
-saving over masked dense attention.
+Layout: inputs (B, H, T, hs) are collapsed to (BH, T, hs). Generality
+(round-2 upgrades over the original kernel):
+
+  * Ragged / unaligned lengths: Tq and Tk need no 128-aligned divisor. The
+    wrapper zero-pads both to block multiples; kernels bound the kv loop to
+    blocks containing real keys and mask the final partial block with
+    `kpos < tk`, so padded keys never contribute and padded query rows are
+    sliced off (their cotangents arrive as structural zeros in the VJP).
+  * Cross-attention / decode shapes: Tq != Tk supported. Causal masking is
+    right-aligned (query i sits at absolute position i + Tk - Tq), matching
+    `attention.xla_sdpa` and torch SDPA decode semantics.
+  * K/V streaming: by default K/V for one (b, h) ride the Pallas pipeline
+    into VMEM whole (fast at the T <= ~4k this framework trains at; grid
+    (BH, num_q_blocks)). For long sequences (`stream_kv`, auto-enabled past
+    STREAM_KV_BYTES) the kv axis becomes a third, innermost grid dimension:
+    Pallas pipelines one (bk, hs) K/V tile at a time from HBM while online
+    stats persist in VMEM scratch across the kv sweep, so VMEM holds only
+    tiles and Tk is bounded by HBM, not VMEM. Causal skipping clamps the
+    K/V index map to the last needed tile — Pallas never refetches a
+    revisited block, so strictly-upper-triangular tiles cost neither FLOPs
+    (compute is `pl.when`-guarded) nor HBM traffic.
 
 Backward follows the FlashAttention-2 recipe: save per-row logsumexp from
 the forward, precompute D = rowsum(dout * out) with XLA, then two kernels:
@@ -30,23 +45,66 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_BLOCK_Q = 512
 DEFAULT_BLOCK_K = 512
 NEG_INF = -1e30
+# Stream K/V tile-by-tile (3-D grid) instead of pinning them whole in VMEM
+# once the padded per-(b,h) K+V footprint crosses this many bytes
+# (~Tk 8192 at hs=64 bf16).
+STREAM_KV_BYTES = 2 * 1024 * 1024
 # Global interpreter-mode override for CPU testing of callers that do not
 # thread an `interpret` argument (e.g. the model's attn_impl="flash" path).
 FORCE_INTERPRET = False
 
 
-def _fit_block(t: int, want: int) -> int:
-    """Largest multiple of 128 that divides t and is <= want."""
-    b = min(want, t)
-    while b >= 128:
-        if t % b == 0 and b % 128 == 0:
-            return b
-        b -= 128
-    raise AssertionError(f"T={t} has no 128-aligned divisor block")
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
 
 
-def _block_sizes(t: int, bq: int, bk: int):
-    return _fit_block(t, bq), _fit_block(t, bk)
+def _pick_block(t: int, want: int) -> int:
+    """Block size for a (possibly unaligned) length t: at most `want`, at
+    least 128, never larger than t rounded up to the 128 lane tile."""
+    return max(128, min(want, _round_up(t, 128)))
+
+
+def _pad_t(x, t_pad, value=0.0):
+    t = x.shape[1]
+    if t == t_pad:
+        return x
+    return jnp.pad(
+        x, ((0, 0), (0, t_pad - t), (0, 0)), constant_values=value
+    )
+
+
+def _num_kv_blocks(iq, *, bq, bk, tk, q_off, causal):
+    """Traced upper bound (exclusive) of the kv-block sweep for q block iq:
+    only blocks holding keys some query row may attend to. Fully-padded
+    tail blocks are never visited, so online-softmax stats can't hit an
+    all-masked first block."""
+    nk_real = pl.cdiv(tk, bk)
+    if not causal:
+        return nk_real
+    last_qpos = q_off + (iq + 1) * bq - 1  # abs position of block's last row
+    return jnp.minimum(last_qpos // bk + 1, nk_real)
+
+
+def _start_q_block(jk, *, bq, bk, q_off, causal):
+    """First q block whose last row's absolute position reaches kv block jk
+    (causal); all earlier q blocks see only masked scores."""
+    if not causal:
+        return 0
+    return jnp.maximum(0, (jk * bk - q_off) // bq)
+
+
+def _mask_scores(s, iq, j, *, bq, bk, tk, q_off, causal, ragged_k):
+    """Apply the causal (right-aligned) and key-padding masks to one
+    (bq, bk) score tile at q block iq, kv block j."""
+    if not (causal or ragged_k):
+        return s
+    qpos = q_off + iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+    kpos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+    keep = kpos < tk if ragged_k else None
+    if causal:
+        c = qpos >= kpos
+        keep = c if keep is None else jnp.logical_and(keep, c)
+    return jnp.where(keep, s, NEG_INF)
 
 
 # ---------------------------------------------------------------------------
@@ -54,88 +112,160 @@ def _block_sizes(t: int, bq: int, bk: int):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, bq, bk, scale, causal, t):
+def _fwd_step(q, k, v, carry, iq, j, *, bq, bk, scale, tk, q_off, causal,
+              ragged_k):
+    """One online-softmax update with kv tile j. carry = (acc, m, l)."""
+    acc, m, l = carry
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = _mask_scores(
+        s * scale, iq, j, bq=bq, bk=bk, tk=tk, q_off=q_off, causal=causal,
+        ragged_k=ragged_k,
+    )
+    m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    corr = jnp.exp(m - m_new)
+    l = l * corr + jnp.sum(p, axis=1, keepdims=True)
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return acc * corr + pv, m_new, l
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, bq, bk, scale, tk,
+                q_off, causal, ragged_k):
+    """VMEM-resident K/V: grid (BH, nq), in-kernel fori_loop over kv."""
     iq = pl.program_id(1)
     q = q_ref[0]  # (bq, hs); scores accumulate fp32 via preferred_element_type
     hs = q.shape[-1]
-
-    if causal:
-        # number of kv blocks this q block attends into
-        num_kv = (iq * bq) // bk + pl.cdiv(bq, bk)
-    else:
-        num_kv = t // bk
+    num_kv = _num_kv_blocks(iq, bq=bq, bk=bk, tk=tk, q_off=q_off, causal=causal)
 
     def body(j, carry):
-        acc, m, l = carry
         k = k_ref[0, pl.ds(j * bk, bk), :]
         v = v_ref[0, pl.ds(j * bk, bk), :]
-        s = jax.lax.dot_general(
-            q,
-            k,
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (bq, bk)
-        s = s * scale
-        if causal:
-            qpos = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
-            kpos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-            s = jnp.where(qpos >= kpos, s, NEG_INF)
-        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        corr = jnp.exp(m - m_new)
-        l = l * corr + jnp.sum(p, axis=1, keepdims=True)
-        pv = jax.lax.dot_general(
-            p.astype(v.dtype),
-            v,
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        return _fwd_step(
+            q, k, v, carry, iq, j, bq=bq, bk=bk, scale=scale, tk=tk,
+            q_off=q_off, causal=causal, ragged_k=ragged_k,
         )
-        acc = acc * corr + pv
-        return acc, m_new, l
 
     acc0 = jnp.zeros((bq, hs), jnp.float32)
     m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((bq, 1), jnp.float32)
     acc, m, l = jax.lax.fori_loop(0, num_kv, body, (acc0, m0, l0))
-
     o_ref[0] = (acc / l).astype(o_ref.dtype)
     lse_ref[0] = m + jnp.log(l)  # (bq, 1)
 
 
-def _fwd(q, k, v, *, causal, bq, bk, interpret):
-    b, h, t, hs = q.shape
-    bq, bk = _block_sizes(t, bq, bk)
+def _fwd_kernel_grid(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref,
+                     l_ref, *, bq, bk, scale, tk, q_off, causal, ragged_k,
+                     nk_grid):
+    """Streamed K/V: grid (BH, nq, nk), one (bk, hs) kv tile per step;
+    online stats persist in VMEM scratch across the kv sweep."""
+    iq = pl.program_id(1)
+    jk = pl.program_id(2)
+    num_kv = _num_kv_blocks(iq, bq=bq, bk=bk, tk=tk, q_off=q_off, causal=causal)
+
+    @pl.when(jk == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    @pl.when(jk < num_kv)
+    def _():
+        carry = (acc_ref[...], m_ref[...], l_ref[...])
+        acc, m, l = _fwd_step(
+            q_ref[0], k_ref[0], v_ref[0], carry, iq, jk, bq=bq, bk=bk,
+            scale=scale, tk=tk, q_off=q_off, causal=causal, ragged_k=ragged_k,
+        )
+        acc_ref[...], m_ref[...], l_ref[...] = acc, m, l
+
+    @pl.when(jk == nk_grid - 1)
+    def _():
+        o_ref[0] = (acc_ref[...] / l_ref[...]).astype(o_ref.dtype)
+        lse_ref[0] = m_ref[...] + jnp.log(l_ref[...])
+
+
+def _kv_index_map(*, bq, bk, tk, q_off, causal):
+    """K/V index map for the 3-D streamed grid: clamp to the last tile this
+    q block needs, so causally-skipped steps revisit (never refetch)."""
+
+    def index(bh, iq, jk):
+        num_kv = _num_kv_blocks(
+            iq, bq=bq, bk=bk, tk=tk, q_off=q_off, causal=causal
+        )
+        return (bh, jnp.minimum(jk, num_kv - 1), 0)
+
+    return index
+
+
+def _fwd(q, k, v, *, causal, bq, bk, stream_kv, interpret):
+    b, h, tq, hs = q.shape
+    tk = k.shape[2]
+    bq, bk = _pick_block(tq, bq), _pick_block(tk, bk)
+    tq_pad, tk_pad = _round_up(tq, bq), _round_up(tk, bk)
+    q_off = tk - tq  # right-aligned causal (xla_sdpa parity)
     scale = 1.0 / (hs**0.5)
-    qf = q.reshape(b * h, t, hs)
-    kf = k.reshape(b * h, t, hs)
-    vf = v.reshape(b * h, t, hs)
-    grid = (b * h, t // bq)
-    out, lse = pl.pallas_call(
-        functools.partial(
-            _fwd_kernel, bq=bq, bk=bk, scale=scale, causal=causal, t=t
-        ),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, bq, hs), lambda bh, iq: (bh, iq, 0)),
-            pl.BlockSpec((1, t, hs), lambda bh, iq: (bh, 0, 0)),
-            pl.BlockSpec((1, t, hs), lambda bh, iq: (bh, 0, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, bq, hs), lambda bh, iq: (bh, iq, 0)),
-            pl.BlockSpec((1, bq, 1), lambda bh, iq: (bh, iq, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b * h, t, hs), q.dtype),
-            jax.ShapeDtypeStruct((b * h, t, 1), jnp.float32),
-        ],
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=(2 if causal else 4) * b * h * t * t * hs,
-            bytes_accessed=3 * b * h * t * hs * q.dtype.itemsize,
-            transcendentals=b * h * t * t // (2 if causal else 1),
-        ),
-    )(qf, kf, vf)
-    return out.reshape(b, h, t, hs), lse
+    qf = _pad_t(q.reshape(b * h, tq, hs), tq_pad)
+    kf = _pad_t(k.reshape(b * h, tk, hs), tk_pad)
+    vf = _pad_t(v.reshape(b * h, tk, hs), tk_pad)
+    kw = dict(bq=bq, bk=bk, scale=scale, tk=tk, q_off=q_off, causal=causal,
+              ragged_k=tk_pad != tk)
+    cost = pl.CostEstimate(
+        flops=(2 if causal else 4) * b * h * tq * tk * hs,
+        bytes_accessed=(b * h * (tq + 2 * tk) * hs) * q.dtype.itemsize,
+        transcendentals=b * h * tq * tk // (2 if causal else 1),
+    )
+    out_specs = [
+        pl.BlockSpec((1, bq, hs), lambda bh, iq, *_: (bh, iq, 0)),
+        pl.BlockSpec((1, bq, 1), lambda bh, iq, *_: (bh, iq, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b * h, tq_pad, hs), q.dtype),
+        jax.ShapeDtypeStruct((b * h, tq_pad, 1), jnp.float32),
+    ]
+    if stream_kv:
+        nk_grid = pl.cdiv(tk, bk)
+        kvi = _kv_index_map(**{k_: kw[k_] for k_ in
+                               ("bq", "bk", "tk", "q_off", "causal")})
+        out, lse = pl.pallas_call(
+            functools.partial(_fwd_kernel_grid, nk_grid=nk_grid, **kw),
+            grid=(b * h, tq_pad // bq, nk_grid),
+            in_specs=[
+                pl.BlockSpec((1, bq, hs), lambda bh, iq, jk: (bh, iq, 0)),
+                pl.BlockSpec((1, bk, hs), kvi),
+                pl.BlockSpec((1, bk, hs), kvi),
+            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((bq, hs), jnp.float32),
+                pltpu.VMEM((bq, 1), jnp.float32),
+                pltpu.VMEM((bq, 1), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            interpret=interpret,
+            cost_estimate=cost,
+        )(qf, kf, vf)
+    else:
+        out, lse = pl.pallas_call(
+            functools.partial(_fwd_kernel, **kw),
+            grid=(b * h, tq_pad // bq),
+            in_specs=[
+                pl.BlockSpec((1, bq, hs), lambda bh, iq: (bh, iq, 0)),
+                pl.BlockSpec((1, tk_pad, hs), lambda bh, iq: (bh, 0, 0)),
+                pl.BlockSpec((1, tk_pad, hs), lambda bh, iq: (bh, 0, 0)),
+            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+            cost_estimate=cost,
+        )(qf, kf, vf)
+    return out[:, :tq].reshape(b, h, tq, hs), lse[:, :tq]
 
 
 # ---------------------------------------------------------------------------
@@ -143,81 +273,115 @@ def _fwd(q, k, v, *, causal, bq, bk, interpret):
 # ---------------------------------------------------------------------------
 
 
-def _dq_kernel(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, dcap_ref, dq_ref, *, bq, bk, scale, causal, t
-):
+def _dq_step(q, k, v, do, lse, dcap, dq, iq, j, *, bq, bk, scale, tk, q_off,
+             causal, ragged_k):
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = _mask_scores(
+        s * scale, iq, j, bq=bq, bk=bk, tk=tk, q_off=q_off, causal=causal,
+        ragged_k=ragged_k,
+    )
+    p = jnp.exp(s - lse)  # (bq, bk)
+    dp = jax.lax.dot_general(
+        do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - dcap) * scale
+    return dq + jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dcap_ref, dq_ref, *,
+               bq, bk, scale, tk, q_off, causal, ragged_k):
     iq = pl.program_id(1)
     q = q_ref[0]
     do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0]  # (bq, 1)
-    dcap = dcap_ref[0]  # (bq, 1)
+    lse, dcap = lse_ref[0], dcap_ref[0]
     hs = q.shape[-1]
-    num_kv = ((iq * bq) // bk + pl.cdiv(bq, bk)) if causal else t // bk
+    num_kv = _num_kv_blocks(iq, bq=bq, bk=bk, tk=tk, q_off=q_off, causal=causal)
 
     def body(j, dq):
         k = k_ref[0, pl.ds(j * bk, bk), :]
         v = v_ref[0, pl.ds(j * bk, bk), :]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        if causal:
-            qpos = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
-            kpos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-            s = jnp.where(qpos >= kpos, s, NEG_INF)
-        p = jnp.exp(s - lse)  # (bq, bk)
-        dp = jax.lax.dot_general(
-            do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        return _dq_step(
+            q, k, v, do, lse, dcap, dq, iq, j, bq=bq, bk=bk, scale=scale,
+            tk=tk, q_off=q_off, causal=causal, ragged_k=ragged_k,
         )
-        ds = p * (dp - dcap) * scale
-        dq = dq + jax.lax.dot_general(
-            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return dq
 
     dq = jax.lax.fori_loop(0, num_kv, body, jnp.zeros((bq, hs), jnp.float32))
     dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
-def _dkv_kernel(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, dcap_ref, dk_ref, dv_ref,
-    *, bq, bk, scale, causal, t,
-):
+def _dq_kernel_grid(q_ref, k_ref, v_ref, do_ref, lse_ref, dcap_ref, dq_ref,
+                    acc_ref, *, bq, bk, scale, tk, q_off, causal, ragged_k,
+                    nk_grid):
+    iq = pl.program_id(1)
+    jk = pl.program_id(2)
+    num_kv = _num_kv_blocks(iq, bq=bq, bk=bk, tk=tk, q_off=q_off, causal=causal)
+
+    @pl.when(jk == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    @pl.when(jk < num_kv)
+    def _():
+        acc_ref[...] = _dq_step(
+            q_ref[0], k_ref[0], v_ref[0], do_ref[0].astype(jnp.float32),
+            lse_ref[0], dcap_ref[0], acc_ref[...], iq, jk, bq=bq, bk=bk,
+            scale=scale, tk=tk, q_off=q_off, causal=causal, ragged_k=ragged_k,
+        )
+
+    @pl.when(jk == nk_grid - 1)
+    def _():
+        dq_ref[0] = acc_ref[...].astype(dq_ref.dtype)
+
+
+def _dkv_step(k, v, q, do, lse, dcap, carry, i, jk, *, bq, bk, scale, tk,
+              q_off, causal, ragged_k):
+    dk, dv = carry
+    do = do.astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    # same mask transposed into this kernel's (i, jk) tile coordinates
+    s = _mask_scores(
+        s * scale, i, jk, bq=bq, bk=bk, tk=tk, q_off=q_off, causal=causal,
+        ragged_k=ragged_k,
+    )
+    p = jnp.exp(s - lse)  # (bq, bk)
+    dv = dv + jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - dcap) * scale
+    dk = dk + jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return dk, dv
+
+
+def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dcap_ref, dk_ref,
+                dv_ref, *, bq, bk, scale, tq_pad, tk, q_off, causal, ragged_k):
     jk = pl.program_id(1)
-    k = k_ref[0]
-    v = v_ref[0]
+    k, v = k_ref[0], v_ref[0]
     hs = k.shape[-1]
-    nq = t // bq
-    start_q = (jk * bk) // bq if causal else 0
+    nq = tq_pad // bq
+    start_q = _start_q_block(jk, bq=bq, bk=bk, q_off=q_off, causal=causal)
 
     def body(i, carry):
-        dk, dv = carry
-        q = q_ref[0, pl.ds(i * bq, bq), :]
-        do = do_ref[0, pl.ds(i * bq, bq), :]
-        lse = lse_ref[0, pl.ds(i * bq, bq), :]  # (bq, 1)
-        dcap = dcap_ref[0, pl.ds(i * bq, bq), :]  # (bq, 1)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        if causal:
-            qpos = i * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
-            kpos = jk * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-            s = jnp.where(qpos >= kpos, s, NEG_INF)
-        p = jnp.exp(s - lse)  # (bq, bk)
-        dv = dv + jax.lax.dot_general(
-            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        sl = pl.ds(i * bq, bq)
+        return _dkv_step(
+            k, v, q_ref[0, sl, :], do_ref[0, sl, :], lse_ref[0, sl, :],
+            dcap_ref[0, sl, :], carry, i, jk, bq=bq, bk=bk, scale=scale,
+            tk=tk, q_off=q_off, causal=causal, ragged_k=ragged_k,
         )
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        ds = p * (dp - dcap) * scale
-        dk = dk + jax.lax.dot_general(
-            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return dk, dv
 
     dk0 = jnp.zeros((bk, hs), jnp.float32)
     dv0 = jnp.zeros((bk, hs), jnp.float32)
@@ -226,64 +390,176 @@ def _dkv_kernel(
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
-def _bwd(q, k, v, out, lse, do, *, causal, bq, bk, interpret):
-    b, h, t, hs = q.shape
-    bq, bk = _block_sizes(t, bq, bk)
+def _dkv_kernel_grid(q_ref, k_ref, v_ref, do_ref, lse_ref, dcap_ref, dk_ref,
+                     dv_ref, dk_acc, dv_acc, *, bq, bk, scale, tq_pad, tk,
+                     q_off, causal, ragged_k, nq_grid):
+    """Streamed q/do/lse/dcap: grid (BH, nk, nq), q tiles pipelined while
+    dk/dv accumulate in VMEM scratch."""
+    jk = pl.program_id(1)
+    iq = pl.program_id(2)
+    start_q = _start_q_block(jk, bq=bq, bk=bk, q_off=q_off, causal=causal)
+
+    @pl.when(iq == 0)
+    def _():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    @pl.when(iq >= start_q)
+    def _():
+        carry = (dk_acc[...], dv_acc[...])
+        dk, dv = _dkv_step(
+            k_ref[0], v_ref[0], q_ref[0], do_ref[0], lse_ref[0], dcap_ref[0],
+            carry, iq, jk, bq=bq, bk=bk, scale=scale, tk=tk, q_off=q_off,
+            causal=causal, ragged_k=ragged_k,
+        )
+        dk_acc[...], dv_acc[...] = dk, dv
+
+    @pl.when(iq == nq_grid - 1)
+    def _():
+        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _q_index_map(*, bq, bk, q_off, causal):
+    """q/do/lse/dcap index map for the streamed dkv grid: clamp to the first
+    q tile kv block jk needs, so causally-skipped steps never refetch."""
+
+    def index(bh, jk, iq):
+        start_q = _start_q_block(jk, bq=bq, bk=bk, q_off=q_off, causal=causal)
+        return (bh, jnp.maximum(iq, start_q), 0)
+
+    return index
+
+
+def _bwd(q, k, v, out, lse, do, *, causal, bq, bk, stream_kv, interpret):
+    b, h, tq, hs = q.shape
+    tk = k.shape[2]
+    bq, bk = _pick_block(tq, bq), _pick_block(tk, bk)
+    tq_pad, tk_pad = _round_up(tq, bq), _round_up(tk, bk)
+    q_off = tk - tq
     scale = 1.0 / (hs**0.5)
-    shape3 = (b * h, t, hs)
-    qf, kf, vf = (x.reshape(shape3) for x in (q, k, v))
-    dof = do.reshape(shape3)
+    ragged_k = tk_pad != tk
+    qf = _pad_t(q.reshape(b * h, tq, hs), tq_pad)
+    kf = _pad_t(k.reshape(b * h, tk, hs), tk_pad)
+    vf = _pad_t(v.reshape(b * h, tk, hs), tk_pad)
+    dof = _pad_t(do.reshape(b * h, tq, hs), tq_pad)
+    # padded q rows must see p = exp(s - lse) == 0 in the backward, or
+    # exp(s) can overflow and inf * 0 -> NaN poisons dk/dv tiles
+    lsef = _pad_t(lse, tq_pad, value=-NEG_INF)
     # D_i = rowsum(dout * out): cheap elementwise+reduce, leave it to XLA.
-    dcap = jnp.sum(
-        do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
-    ).reshape(b * h, t, 1)
+    dcap = _pad_t(
+        jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+        .reshape(b * h, tq, 1),
+        tq_pad,
+    )
 
     full = lambda bh, i: (bh, 0, 0)
+    qrow = lambda bh, i, *_: (bh, i, 0)
+    krow = lambda bh, j, *_: (bh, j, 0)
 
-    dq = pl.pallas_call(
-        functools.partial(
-            _dq_kernel, bq=bq, bk=bk, scale=scale, causal=causal, t=t
-        ),
-        grid=(b * h, t // bq),
-        in_specs=[
-            pl.BlockSpec((1, bq, hs), lambda bh, i: (bh, i, 0)),
-            pl.BlockSpec((1, t, hs), full),
-            pl.BlockSpec((1, t, hs), full),
-            pl.BlockSpec((1, bq, hs), lambda bh, i: (bh, i, 0)),
-            pl.BlockSpec((1, bq, 1), lambda bh, i: (bh, i, 0)),
-            pl.BlockSpec((1, bq, 1), lambda bh, i: (bh, i, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, bq, hs), lambda bh, i: (bh, i, 0)),
-        out_shape=jax.ShapeDtypeStruct(shape3, q.dtype),
-        interpret=interpret,
-    )(qf, kf, vf, dof, lse, dcap)
+    kw = dict(bq=bq, bk=bk, scale=scale, tk=tk, q_off=q_off, causal=causal,
+              ragged_k=ragged_k)
+    if stream_kv:
+        nk_grid = pl.cdiv(tk, bk)
+        kvi = _kv_index_map(**{k_: kw[k_] for k_ in
+                               ("bq", "bk", "tk", "q_off", "causal")})
+        dq = pl.pallas_call(
+            functools.partial(_dq_kernel_grid, nk_grid=nk_grid, **kw),
+            grid=(b * h, tq_pad // bq, nk_grid),
+            in_specs=[
+                pl.BlockSpec((1, bq, hs), qrow),
+                pl.BlockSpec((1, bk, hs), kvi),
+                pl.BlockSpec((1, bk, hs), kvi),
+                pl.BlockSpec((1, bq, hs), qrow),
+                pl.BlockSpec((1, bq, 1), qrow),
+                pl.BlockSpec((1, bq, 1), qrow),
+            ],
+            out_specs=pl.BlockSpec((1, bq, hs), qrow),
+            out_shape=jax.ShapeDtypeStruct((b * h, tq_pad, hs), q.dtype),
+            scratch_shapes=[pltpu.VMEM((bq, hs), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(qf, kf, vf, dof, lsef, dcap)
 
-    dk, dv = pl.pallas_call(
-        functools.partial(
-            _dkv_kernel, bq=bq, bk=bk, scale=scale, causal=causal, t=t
-        ),
-        grid=(b * h, t // bk),
-        in_specs=[
-            pl.BlockSpec((1, t, hs), full),
-            pl.BlockSpec((1, bk, hs), lambda bh, j: (bh, j, 0)),
-            pl.BlockSpec((1, bk, hs), lambda bh, j: (bh, j, 0)),
-            pl.BlockSpec((1, t, hs), full),
-            pl.BlockSpec((1, t, 1), full),
-            pl.BlockSpec((1, t, 1), full),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, bk, hs), lambda bh, j: (bh, j, 0)),
-            pl.BlockSpec((1, bk, hs), lambda bh, j: (bh, j, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct(shape3, k.dtype),
-            jax.ShapeDtypeStruct(shape3, v.dtype),
-        ],
-        interpret=interpret,
-    )(qf, kf, vf, dof, lse, dcap)
+        nq_grid = tq_pad // bq
+        qi = _q_index_map(**{k_: kw[k_] for k_ in ("bq", "bk", "q_off",
+                                                   "causal")})
+        dk, dv = pl.pallas_call(
+            functools.partial(
+                _dkv_kernel_grid, tq_pad=tq_pad, nq_grid=nq_grid, **kw
+            ),
+            grid=(b * h, tk_pad // bk, nq_grid),
+            in_specs=[
+                pl.BlockSpec((1, bq, hs), qi),
+                pl.BlockSpec((1, bk, hs), krow),
+                pl.BlockSpec((1, bk, hs), krow),
+                pl.BlockSpec((1, bq, hs), qi),
+                pl.BlockSpec((1, bq, 1), qi),
+                pl.BlockSpec((1, bq, 1), qi),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, bk, hs), krow),
+                pl.BlockSpec((1, bk, hs), krow),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b * h, tk_pad, hs), k.dtype),
+                jax.ShapeDtypeStruct((b * h, tk_pad, hs), v.dtype),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((bk, hs), jnp.float32),
+                pltpu.VMEM((bk, hs), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(qf, kf, vf, dof, lsef, dcap)
+    else:
+        dq = pl.pallas_call(
+            functools.partial(_dq_kernel, **kw),
+            grid=(b * h, tq_pad // bq),
+            in_specs=[
+                pl.BlockSpec((1, bq, hs), qrow),
+                pl.BlockSpec((1, tk_pad, hs), full),
+                pl.BlockSpec((1, tk_pad, hs), full),
+                pl.BlockSpec((1, bq, hs), qrow),
+                pl.BlockSpec((1, bq, 1), qrow),
+                pl.BlockSpec((1, bq, 1), qrow),
+            ],
+            out_specs=pl.BlockSpec((1, bq, hs), qrow),
+            out_shape=jax.ShapeDtypeStruct((b * h, tq_pad, hs), q.dtype),
+            interpret=interpret,
+        )(qf, kf, vf, dof, lsef, dcap)
 
-    rs = lambda x: x.reshape(b, h, t, hs)
-    return rs(dq), rs(dk), rs(dv)
+        dk, dv = pl.pallas_call(
+            functools.partial(_dkv_kernel, tq_pad=tq_pad, **kw),
+            grid=(b * h, tk_pad // bk),
+            in_specs=[
+                pl.BlockSpec((1, tq_pad, hs), full),
+                pl.BlockSpec((1, bk, hs), krow),
+                pl.BlockSpec((1, bk, hs), krow),
+                pl.BlockSpec((1, tq_pad, hs), full),
+                pl.BlockSpec((1, tq_pad, 1), full),
+                pl.BlockSpec((1, tq_pad, 1), full),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, bk, hs), krow),
+                pl.BlockSpec((1, bk, hs), krow),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b * h, tk_pad, hs), k.dtype),
+                jax.ShapeDtypeStruct((b * h, tk_pad, hs), v.dtype),
+            ],
+            interpret=interpret,
+        )(qf, kf, vf, dof, lsef, dcap)
+
+    return (
+        dq[:, :tq].reshape(b, h, tq, hs),
+        dk[:, :tk].reshape(b, h, tk, hs),
+        dv[:, :tk].reshape(b, h, tk, hs),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -291,23 +567,28 @@ def _bwd(q, k, v, out, lse, do, *, causal, bq, bk, interpret):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(
-    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6)
-)
-def _flash(q, k, v, causal, bq, bk, interpret):
-    out, _ = _fwd(q, k, v, causal=causal, bq=bq, bk=bk, interpret=interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash(q, k, v, causal, bq, bk, stream_kv, interpret):
+    out, _ = _fwd(
+        q, k, v, causal=causal, bq=bq, bk=bk, stream_kv=stream_kv,
+        interpret=interpret,
+    )
     return out
 
 
-def _flash_fwd(q, k, v, causal, bq, bk, interpret):
-    out, lse = _fwd(q, k, v, causal=causal, bq=bq, bk=bk, interpret=interpret)
+def _flash_fwd(q, k, v, causal, bq, bk, stream_kv, interpret):
+    out, lse = _fwd(
+        q, k, v, causal=causal, bq=bq, bk=bk, stream_kv=stream_kv,
+        interpret=interpret,
+    )
     return out, (q, k, v, out, lse)
 
 
-def _flash_bwd(causal, bq, bk, interpret, res, do):
+def _flash_bwd(causal, bq, bk, stream_kv, interpret, res, do):
     q, k, v, out, lse = res
     dq, dk, dv = _bwd(
-        q, k, v, out, lse, do, causal=causal, bq=bq, bk=bk, interpret=interpret
+        q, k, v, out, lse, do, causal=causal, bq=bq, bk=bk,
+        stream_kv=stream_kv, interpret=interpret,
     )
     return dq, dk, dv
 
@@ -323,12 +604,30 @@ def flash_attention(
     causal: bool = True,
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
+    stream_kv: bool | None = None,
     interpret: bool = False,
 ):
-    """Flash attention over (B, H, T, hs); self-attention (Tq == Tk).
+    """Flash attention over (B, H, Tq, hs) x (B, H, Tk, hs).
 
-    Differentiable (custom VJP). `interpret=True` runs the kernels in the
-    Pallas interpreter for CPU tests.
+    Tq and Tk may differ and need no particular alignment (inputs are
+    block-padded internally; padded keys are masked, padded query rows
+    sliced off). Causal masking is right-aligned: query i attends to
+    keys <= i + Tk - Tq, matching `attention.xla_sdpa`. Differentiable
+    (custom VJP). `stream_kv=None` auto-selects the tile-streamed 3-D grid
+    past STREAM_KV_BYTES of K+V per (b, h); `interpret=True` runs the
+    kernels in the Pallas interpreter for CPU tests.
     """
-    assert q.shape == k.shape == v.shape, "flash path is self-attention only"
-    return _flash(q, k, v, causal, block_q, block_k, interpret or FORCE_INTERPRET)
+    assert q.shape[-1] == k.shape[-1] and k.shape[:2] == q.shape[:2]
+    assert k.shape == v.shape
+    assert not (causal and q.shape[2] > k.shape[2]), (
+        "causal flash requires Tq <= Tk (right-aligned queries); "
+        f"got Tq={q.shape[2]} Tk={k.shape[2]}"
+    )
+    if stream_kv is None:
+        tk_pad = _round_up(k.shape[2], _pick_block(k.shape[2], block_k))
+        kv_bytes = 2 * tk_pad * k.shape[-1] * k.dtype.itemsize
+        stream_kv = kv_bytes > STREAM_KV_BYTES
+    return _flash(
+        q, k, v, causal, block_q, block_k, stream_kv,
+        interpret or FORCE_INTERPRET,
+    )

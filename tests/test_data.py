@@ -246,13 +246,18 @@ def test_coco_batcher_fixed_size_tail(tmp_path):
 
 
 def test_flash_block_fit():
-    """Non-512-divisible (but 128-aligned) T picks a fitting block size."""
-    from gpt2_vision_language_tpu.ops.flash_attention import _block_sizes
+    """Block picking pads T up instead of hunting for divisors: any T works,
+    block <= wanted, always a 128 multiple."""
+    from gpt2_vision_language_tpu.ops.flash_attention import (
+        _pick_block,
+        _round_up,
+    )
 
-    assert _block_sizes(768, 512, 512) == (384, 384)
-    assert _block_sizes(1024, 512, 512) == (512, 512)
-    assert _block_sizes(640, 512, 512) == (128, 128)
-    assert _block_sizes(256, 512, 128) == (256, 128)
+    assert _pick_block(1024, 512) == 512
+    assert _pick_block(768, 512) == 512  # padded 768 -> 1024, two blocks
+    assert _pick_block(65, 512) == 128  # caption path: one padded block
+    assert _pick_block(640, 512) == 512
+    assert _round_up(65, 128) == 128 and _round_up(1000, 512) == 1024
 
 
 def test_loader_skips_undersized_shards(tmp_path):

@@ -95,3 +95,122 @@ def test_full_model_with_flash_interpret():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-4
     )
+
+# ---- round-2 kernel upgrades: ragged T, Tq != Tk, streamed K/V ----
+
+
+@pytest.mark.parametrize("causal", [True, False])
+@pytest.mark.parametrize("t", [65, 130, 1000])
+def test_ragged_t_matches_xla(causal, t):
+    """T with no 128-aligned divisor (caption path is T=65) pads internally
+    and must match XLA exactly on the real rows."""
+    q, k, v = _rand_qkv(jax.random.PRNGKey(4), 2, 2, t, 64)
+    ref = xla_sdpa(q, k, v, causal=causal)
+    out = flash_attention(q, k, v, causal=causal, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("t", [65, 130])
+def test_ragged_t_backward_matches_xla(t):
+    q, k, v = _rand_qkv(jax.random.PRNGKey(5), 1, 2, t, 64)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(jnp.sin(flash_attention(q, k, v, causal=True, interpret=True)))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.sin(xla_sdpa(q, k, v, causal=True)))
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gr, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-4, err_msg=f"d{name}"
+        )
+
+
+@pytest.mark.parametrize("causal", [True, False])
+@pytest.mark.parametrize("tq,tk", [(64, 256), (1, 193), (130, 385)])
+def test_cross_shapes_match_xla(causal, tq, tk):
+    """Tq != Tk (decode / cross-attention shapes); causal is right-aligned
+    like xla_sdpa (query i attends to keys <= i + Tk - Tq)."""
+    key = jax.random.PRNGKey(6)
+    ks = jax.random.split(key, 3)
+    q = jax.random.normal(ks[0], (2, 2, tq, 64))
+    k = jax.random.normal(ks[1], (2, 2, tk, 64))
+    v = jax.random.normal(ks[2], (2, 2, tk, 64))
+    ref = xla_sdpa(q, k, v, causal=causal)
+    out = flash_attention(q, k, v, causal=causal, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_cross_shape_backward_matches_xla():
+    key = jax.random.PRNGKey(7)
+    ks = jax.random.split(key, 3)
+    q = jax.random.normal(ks[0], (1, 2, 65, 64))
+    k = jax.random.normal(ks[1], (1, 2, 260, 64))
+    v = jax.random.normal(ks[2], (1, 2, 260, 64))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(jnp.sin(flash_attention(q, k, v, causal=True, interpret=True)))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.sin(xla_sdpa(q, k, v, causal=True)))
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gr, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-4, err_msg=f"d{name}"
+        )
+
+
+def test_causal_tq_gt_tk_rejected():
+    q, k, v = _rand_qkv(jax.random.PRNGKey(8), 1, 1, 256, 64)
+    with pytest.raises(AssertionError, match="Tq <= Tk"):
+        flash_attention(q, k[:, :, :128], v[:, :, :128], causal=True, interpret=True)
+
+
+@pytest.mark.parametrize("causal", [True, False])
+def test_streamed_kv_matches_resident(causal):
+    """stream_kv=True (double-buffered HBM tile DMA) must be numerically
+    identical to the VMEM-resident path, fwd and bwd."""
+    q, k, v = _rand_qkv(jax.random.PRNGKey(9), 1, 2, 512, 64)
+
+    def loss(q, k, v, stream):
+        o = flash_attention(
+            q, k, v, causal=causal, block_q=128, block_k=128,
+            stream_kv=stream, interpret=True,
+        )
+        return jnp.sum(jnp.sin(o)), o
+
+    (_, o_res), g_res = jax.value_and_grad(
+        lambda *a: loss(*a, False), argnums=(0, 1, 2), has_aux=True
+    )(q, k, v)
+    (_, o_str), g_str = jax.value_and_grad(
+        lambda *a: loss(*a, True), argnums=(0, 1, 2), has_aux=True
+    )(q, k, v)
+    np.testing.assert_allclose(np.asarray(o_str), np.asarray(o_res), atol=1e-6)
+    for a, b, name in zip(g_str, g_res, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6, err_msg=f"d{name}"
+        )
+
+
+def test_streamed_kv_ragged_matches_xla():
+    q, k, v = _rand_qkv(jax.random.PRNGKey(10), 1, 1, 330, 64)
+    ref = xla_sdpa(q, k, v, causal=True)
+    out = flash_attention(
+        q, k, v, causal=True, block_q=128, block_k=128,
+        stream_kv=True, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_auto_stream_threshold():
+    """stream_kv=None auto-selects streaming for long Tk only."""
+    from gpt2_vision_language_tpu.ops import flash_attention as fa
+
+    short = 2 * 1024 * 64 * 4  # Tk=1024 fp32: 512 KiB -> resident
+    assert short <= fa.STREAM_KV_BYTES
+    long = 2 * 16384 * 64 * 4  # Tk=16k fp32 -> streamed
+    assert long > fa.STREAM_KV_BYTES
