@@ -42,16 +42,19 @@ def main():
     from gpt2_vision_language_tpu.train import make_train_step
     from gpt2_vision_language_tpu.train.optimizer import adamw_init
 
-    cfg = GPTConfig()
+    cfg = GPTConfig(unroll_layers=True)
     b, t, accum = 8, 1024, 64  # 524,288 tokens per optimizer step — the
     # reference's effective batch (train_gpt2.py:244-248). The micro-batch
     # split is an implementation detail; measured on v5e-1:
     #   B=16 remat=full  unfused CE        98.7k tok/s   (round-1 config)
     #   B=16 remat=full  fused CE         100.3k
     #   B=16 remat=none  fused CE ce=2     97.4k (fits only with chunked CE)
-    #   B=8  remat=none  fused CE ce=1    108.2k  <- this config
+    #   B=8  remat=none  fused CE ce=1    108.2k
+    #   B=8  remat=none  fused CE unroll  134.6k  <- this config
     # No remat (fits thanks to fused CE + LN custom-vjp memory savings)
-    # skips the full forward recompute in the backward pass.
+    # skips the full forward recompute in the backward pass; unrolling the
+    # layer loop removes lax.scan's residual-stacking DUS round-trips
+    # (profiled at ~30% of the scanned no-remat step).
 
     def loss_fn(params, micro):
         # fused chunked lm_head+CE (ops/fused_ce.py)

@@ -36,6 +36,11 @@ class GPTConfig:
     # Visual conditioning (0 = plain text decoder).
     img_embd: int = 0  # encoder feature dim for gated cross-attention variant
     cross_attention: bool = False  # in-block tanh-gated cross-attn (Flamingo-style)
+    # Python-unroll the layer loop in the no-remat path: avoids lax.scan's
+    # residual stacking (profiled at ~30% of the 124M no-remat step), at the
+    # cost of an n_layer-times-larger jaxpr (slower compiles). Off by
+    # default; the pretrain bench config turns it on.
+    unroll_layers: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -131,11 +136,15 @@ class OptimizerConfig:
 class PretrainConfig:
     """FineWeb-Edu pretraining workload (train_gpt2.py:243-285)."""
 
-    model: GPTConfig = field(default_factory=lambda: GPT2_124M)
+    # unroll_layers: no-remat + unrolled layer loop measured fastest on
+    # v5e-1 (134.6k vs 108.2k tok/s scanned, vs 100.3k at B=16 remat=True —
+    # see bench.py); costs ~1 min extra compile at startup.
+    model: GPTConfig = field(
+        default_factory=lambda: GPT2_124M.replace(unroll_layers=True)
+    )
     total_batch_size: int = 524288  # tokens per optimizer step
     # The reference uses B=16 (train_gpt2.py:244); the effective batch is
-    # identical at any micro split. B=8 + remat=False measured fastest on
-    # v5e-1 (108.2k vs 100.3k tok/s at B=16 remat=True — see bench.py).
+    # identical at any micro split.
     micro_batch_size: int = 8  # B
     seq_len: int = 1024  # T
     schedule: ScheduleConfig = field(default_factory=ScheduleConfig)

@@ -141,3 +141,27 @@ def test_remat_matches():
     l1, _ = gpt2.apply(params, idx, SMALL, policy=FP32_POLICY, remat=False)
     l2, _ = gpt2.apply(params, idx, SMALL, policy=FP32_POLICY, remat=True)
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-6)
+
+
+def test_unrolled_layers_match_scan():
+    """cfg.unroll_layers=True (no-remat perf path) must be numerically
+    identical to the lax.scan path, forward and grads."""
+    import jax
+    import jax.numpy as jnp
+    from gpt2_vision_language_tpu.core.precision import FP32_POLICY
+
+    cfg = GPTConfig(block_size=32, vocab_size=128, n_layer=3, n_head=2, n_embd=32)
+    cfg_u = cfg.replace(unroll_layers=True)
+    params = gpt2.init(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(np.random.RandomState(0).randint(0, 128, (2, 32)), jnp.int32)
+    y = jnp.roll(x, -1, axis=1)
+
+    def loss(p, c):
+        _, l = gpt2.apply(p, x, c, targets=y, policy=FP32_POLICY)
+        return l
+
+    l1, g1 = jax.value_and_grad(loss)(params, cfg)
+    l2, g2 = jax.value_and_grad(loss)(params, cfg_u)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
