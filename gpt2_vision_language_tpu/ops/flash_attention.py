@@ -42,8 +42,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Block sizes measured on v5e-1 at the pretrain shape (B=8, H=12, T=1024,
+# hs=64, bf16). Kernel-only microbenchmarks favor larger blocks (fwd
+# (512,1024), bwd (1024,1024): 4.29 ms combined vs 5.52 ms at uniform 512),
+# but in the FULL unrolled training step uniform 512 wins — 132.3k tok/s vs
+# 129.1k with (1024,1024) bwd blocks — because the bigger VMEM footprint
+# degrades scheduling overlap with the surrounding matmuls. Defaults follow
+# the full-step measurement; the per-direction knobs remain for other shapes.
 DEFAULT_BLOCK_Q = 512
 DEFAULT_BLOCK_K = 512
+DEFAULT_BLOCK_Q_BWD = 512
+DEFAULT_BLOCK_K_BWD = 512
 NEG_INF = -1e30
 # Stream K/V tile-by-tile (3-D grid) instead of pinning them whole in VMEM
 # once the padded per-(b,h) K+V footprint crosses this many bytes
@@ -567,8 +576,8 @@ def _bwd(q, k, v, out, lse, do, *, causal, bq, bk, stream_kv, interpret):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def _flash(q, k, v, causal, bq, bk, stream_kv, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+def _flash(q, k, v, causal, bq, bk, bq_bwd, bk_bwd, stream_kv, interpret):
     out, _ = _fwd(
         q, k, v, causal=causal, bq=bq, bk=bk, stream_kv=stream_kv,
         interpret=interpret,
@@ -576,7 +585,7 @@ def _flash(q, k, v, causal, bq, bk, stream_kv, interpret):
     return out
 
 
-def _flash_fwd(q, k, v, causal, bq, bk, stream_kv, interpret):
+def _flash_fwd(q, k, v, causal, bq, bk, bq_bwd, bk_bwd, stream_kv, interpret):
     out, lse = _fwd(
         q, k, v, causal=causal, bq=bq, bk=bk, stream_kv=stream_kv,
         interpret=interpret,
@@ -584,10 +593,10 @@ def _flash_fwd(q, k, v, causal, bq, bk, stream_kv, interpret):
     return out, (q, k, v, out, lse)
 
 
-def _flash_bwd(causal, bq, bk, stream_kv, interpret, res, do):
+def _flash_bwd(causal, bq, bk, bq_bwd, bk_bwd, stream_kv, interpret, res, do):
     q, k, v, out, lse = res
     dq, dk, dv = _bwd(
-        q, k, v, out, lse, do, causal=causal, bq=bq, bk=bk,
+        q, k, v, out, lse, do, causal=causal, bq=bq_bwd, bk=bk_bwd,
         stream_kv=stream_kv, interpret=interpret,
     )
     return dq, dk, dv
@@ -604,6 +613,8 @@ def flash_attention(
     causal: bool = True,
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
+    block_q_bwd: int | None = None,
+    block_k_bwd: int | None = None,
     stream_kv: bool | None = None,
     interpret: bool = False,
 ):
@@ -628,6 +639,7 @@ def flash_attention(
         kv_bytes = 2 * tk_pad * k.shape[-1] * k.dtype.itemsize
         stream_kv = kv_bytes > STREAM_KV_BYTES
     return _flash(
-        q, k, v, causal, block_q, block_k, stream_kv,
-        interpret or FORCE_INTERPRET,
+        q, k, v, causal, block_q, block_k,
+        block_q_bwd or DEFAULT_BLOCK_Q_BWD, block_k_bwd or DEFAULT_BLOCK_K_BWD,
+        stream_kv, interpret or FORCE_INTERPRET,
     )
