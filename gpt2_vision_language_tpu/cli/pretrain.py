@@ -25,6 +25,15 @@ def main(argv=None):
         action="store_true",
         help="generate a synthetic token corpus in a temp dir (smoke runs)",
     )
+    p.add_argument(
+        "--synthetic-kind", choices=["zipf", "markov"], default="zipf",
+        help="zipf: i.i.d. tokens (smoke); markov: learnable pair structure "
+        "(sustained-training loss-curve evidence)",
+    )
+    p.add_argument(
+        "--synthetic-shards", type=int, default=2,
+        help="number of 1M-token train shards to generate",
+    )
     p.add_argument("--devices", type=int, default=None)
     p.add_argument(
         "--remat",
@@ -51,7 +60,9 @@ def main(argv=None):
         from ..data.fineweb import write_synthetic_corpus
 
         d = tempfile.mkdtemp(prefix="fineweb_synthetic_")
-        write_synthetic_corpus(d)
+        write_synthetic_corpus(
+            d, kind=args.synthetic_kind, n_train=args.synthetic_shards
+        )
         updates["data_dir"] = d
     cfg = dataclasses.replace(cfg, **updates)
 

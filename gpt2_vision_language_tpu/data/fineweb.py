@@ -205,17 +205,31 @@ def write_synthetic_corpus(
     n_train: int = 2,
     n_val: int = 1,
     seed: int = 0,
+    kind: str = "zipf",
 ) -> None:
-    """Synthetic Zipf-distributed corpus for tests/benchmarks (the real
-    FineWeb-Edu download needs network access)."""
+    """Synthetic corpus for tests/benchmarks (the real FineWeb-Edu download
+    needs network access).
+
+    kind="zipf": i.i.d. Zipf tokens — a trained model can at best match the
+    unigram entropy, so loss curves flatline early; fine for smoke tests.
+    kind="markov": Zipf-drawn pairs ``(a, perm[a])`` for a fixed secret
+    permutation — the optimal loss is ~half the unigram entropy, reached
+    only by LEARNING the pairing, so sustained-training loss curves show
+    genuine structure acquisition (odd positions approach CE 0 as the
+    model memorizes perm; even positions stay at the Zipf prior)."""
     os.makedirs(data_dir, exist_ok=True)
     rng = np.random.RandomState(seed)
     ranks = np.arange(1, vocab_size + 1, dtype=np.float64)
     probs = 1.0 / ranks
     probs /= probs.sum()
+    perm = rng.permutation(vocab_size) if kind == "markov" else None
     for split, n in (("train", n_train), ("val", n_val)):
         for i in range(n):
-            toks = rng.choice(vocab_size, size=shard_tokens, p=probs)
+            if kind == "markov":
+                a = rng.choice(vocab_size, size=shard_tokens // 2, p=probs)
+                toks = np.stack([a, perm[a]], axis=1).reshape(-1)
+            else:
+                toks = rng.choice(vocab_size, size=shard_tokens, p=probs)
             write_token_shard(
                 os.path.join(data_dir, f"edufineweb_{split}_{i:06d}.npy"), toks
             )

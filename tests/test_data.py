@@ -182,6 +182,26 @@ def test_synthetic_corpus(tmp_path):
     assert x.max() < 50257
 
 
+def test_synthetic_corpus_markov_structure(tmp_path):
+    """markov corpus: odd positions are a deterministic function of the
+    preceding even position (the learnable structure the sustained-run
+    loss curve demonstrates), consistent across train and val shards."""
+    import numpy as np
+
+    write_synthetic_corpus(
+        str(tmp_path), shard_tokens=8192, n_train=1, n_val=1, kind="markov"
+    )
+    mapping = {}
+    for split in ("train", "val"):
+        toks = np.load(tmp_path / f"edufineweb_{split}_000000.npy")
+        pairs = toks.reshape(-1, 2)
+        for a, b in pairs:
+            assert mapping.setdefault(int(a), int(b)) == int(b)
+    # injective on the observed support (restriction of a permutation)
+    vals = list(mapping.values())
+    assert len(set(vals)) == len(vals)
+
+
 def test_coco_batcher_determinism(tmp_path):
     """Same seeds -> identical epoch order and caption choices (input
     pipeline determinism, SURVEY.md §7 hard parts)."""
