@@ -201,6 +201,7 @@ def run_blocks(
     policy: Policy = DEFAULT_POLICY,
     attn_impl: str = "auto",
     remat=False,
+    act_sharding=None,
 ):
     """Scan the stacked blocks over the layer axis.
 
@@ -211,11 +212,27 @@ def run_blocks(
     ~= no-remat-at-B-8 (~97k tok/s; the step is not remat-bound) and
     recompute_mlp still exceeds HBM — these policies are the knobs for
     larger chips/models, not wins at this scale.
-    """
+
+    act_sharding: optional NamedSharding for the (B, T, C) residual stream
+    — sequence parallelism the GSPMD way. Constraining the residual to
+    P("data", "model", None) between blocks makes XLA all-gather the
+    sequence axis into each block's attention and reduce-scatter the
+    block output, so the LN/residual segments compute and store only
+    T/tp of the sequence per chip (Korthikanti et al.'s SP, expressed as
+    a sharding hint instead of hand-written collectives). Numerics are
+    unchanged; pure layout/communication."""
+    constrain = (
+        (lambda a: jax.lax.with_sharding_constraint(a, act_sharding))
+        if act_sharding is not None
+        else (lambda a: a)
+    )
+    x = constrain(x)
 
     def body(carry, layer_params):
         return (
-            block(layer_params, carry, z, cfg, policy=policy, attn_impl=attn_impl),
+            constrain(
+                block(layer_params, carry, z, cfg, policy=policy, attn_impl=attn_impl)
+            ),
             None,
         )
 
@@ -253,7 +270,9 @@ def run_blocks(
         # Unrolling keeps residuals as plain values: nothing to stack.
         for i in range(cfg.n_layer):
             lp = jax.tree.map(lambda a: a[i], params["blocks"])
-            x = block(lp, x, z, cfg, policy=policy, attn_impl=attn_impl)
+            x = constrain(
+                block(lp, x, z, cfg, policy=policy, attn_impl=attn_impl)
+            )
         return x
     x, _ = jax.lax.scan(body, x, params["blocks"])
     return x
@@ -293,10 +312,14 @@ def forward_embeds(
     policy: Policy = DEFAULT_POLICY,
     attn_impl: str = "auto",
     remat: bool = False,
+    act_sharding=None,
 ):
     """Run blocks + ln_f + lm_head over already-embedded inputs. Used by the
     prefix-conditioning caption wrapper (gpt2_linear/model.py:167-173)."""
-    x = run_blocks(params, embeds, cfg, z=z, policy=policy, attn_impl=attn_impl, remat=remat)
+    x = run_blocks(
+        params, embeds, cfg, z=z, policy=policy, attn_impl=attn_impl,
+        remat=remat, act_sharding=act_sharding,
+    )
     return lm_head(params, x, cfg, policy=policy)
 
 
@@ -311,6 +334,7 @@ def apply(
     policy: Policy = DEFAULT_POLICY,
     attn_impl: str = "auto",
     remat: bool = False,
+    act_sharding=None,
 ):
     """Full forward. Returns (logits, loss); loss is None without targets.
 
@@ -323,7 +347,8 @@ def apply(
         z = linear(z, params["vis_proj"]["w"], params["vis_proj"]["b"], policy=policy)
         z = z.astype(x.dtype)
     logits = forward_embeds(
-        params, x, cfg, z=z, policy=policy, attn_impl=attn_impl, remat=remat
+        params, x, cfg, z=z, policy=policy, attn_impl=attn_impl, remat=remat,
+        act_sharding=act_sharding,
     )
     loss = None
     if targets is not None:
@@ -343,6 +368,7 @@ def loss(
     attn_impl: str = "auto",
     remat: bool = False,
     ce_chunks: int = 8,
+    act_sharding=None,
 ):
     """CE training loss WITHOUT materializing the (B, T, V) logits.
 
@@ -358,7 +384,10 @@ def loss(
     if z is not None and cfg.cross_attention:
         z = linear(z, params["vis_proj"]["w"], params["vis_proj"]["b"], policy=policy)
         z = z.astype(x.dtype)
-    x = run_blocks(params, x, cfg, z=z, policy=policy, attn_impl=attn_impl, remat=remat)
+    x = run_blocks(
+        params, x, cfg, z=z, policy=policy, attn_impl=attn_impl, remat=remat,
+        act_sharding=act_sharding,
+    )
     x = layer_norm(x, params["lnf"]["scale"], params["lnf"]["bias"])
     return fused_ce_loss(
         x, params["wte"], targets, mask=target_mask, policy=policy,

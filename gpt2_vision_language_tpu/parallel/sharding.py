@@ -58,6 +58,21 @@ def replicated_specs(params):
     return jax.tree.map(lambda p: P(*([None] * p.ndim)) if p.ndim else P(), params)
 
 
+def seq_parallel_sharding(mesh: Mesh) -> NamedSharding:
+    """Sequence-parallel residual-stream sharding for (B, T, C) activations.
+
+    Batch over "data", sequence over "model", features replicated. Passed
+    as `act_sharding` to models/gpt2.py:run_blocks, it converts the
+    Megatron-TP all-reduce after each row-parallel projection into a
+    reduce-scatter (block output lands T-sharded) plus an all-gather
+    before the next block's attention — the LN/residual segments hold and
+    compute only T/tp tokens per chip (Korthikanti et al., "Reducing
+    Activation Recomputation in Large Transformer Models"). The reference
+    has no model parallelism at all (DDP only, train_gpt2.py:215-236);
+    this is the TPU-native scaling extension."""
+    return NamedSharding(mesh, P("data", "model", None))
+
+
 def shard_params(params, mesh: Mesh, specs=None):
     """Place a parameter pytree on the mesh under the given specs.
 

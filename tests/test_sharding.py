@@ -85,3 +85,60 @@ def test_tp_matches_single_device():
         p2["blocks"]["attn"]["wqkv"].shape
     )
     assert shard_shape[2] == p2["blocks"]["attn"]["wqkv"].shape[2] // 4
+
+
+def test_sequence_parallel_matches_single_device():
+    """act_sharding=P("data","model",None) on the residual stream is a pure
+    layout/communication hint: loss, grads, and updated params must match
+    the unconstrained single-device step exactly (up to fp32 reduction
+    order)."""
+    from gpt2_vision_language_tpu.parallel.sharding import (
+        seq_parallel_sharding,
+    )
+
+    assert jax.device_count() >= 8
+    mesh = make_mesh(8, ("data", "model"), shape=(2, 4))
+    act_sh = seq_parallel_sharding(mesh)
+
+    def sp_loss_fn(params, micro):
+        _, loss = gpt2.apply(
+            params, micro["x"], SMALL, targets=micro["y"], policy=FP32_POLICY,
+            act_sharding=act_sh,
+        )
+        return loss
+
+    params = gpt2.init(jax.random.PRNGKey(0), SMALL)
+    state = adamw_init(params)
+    rng = np.random.RandomState(0)
+    x = rng.randint(0, 256, (2, 8, 16)).astype(np.int32)  # T=16 -> 4/chip
+    batch = {"x": jnp.asarray(x), "y": jnp.asarray(np.roll(x, -1, -1))}
+
+    ref_step = make_train_step(
+        _loss_fn, OptimizerConfig(), SCHED,
+        decay_mask=gpt2.decay_mask(params), donate=False,
+    )
+    p1, _, m1 = ref_step(params, state, batch, jnp.int32(0))
+
+    sp_step = make_train_step(
+        sp_loss_fn, OptimizerConfig(), SCHED,
+        decay_mask=gpt2.decay_mask(params), donate=False,
+    )
+    sp = shard_params(params, mesh)
+    ss = {
+        "m": shard_params(state["m"], mesh),
+        "v": shard_params(state["v"], mesh),
+        "step": state["step"],
+    }
+    sbatch = shard_batch(mesh, batch, leading_accum_axis=True)
+    p2, _, m2 = sp_step(sp, ss, sbatch, jnp.int32(0))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(m1["grad_norm"]), float(m2["grad_norm"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(p1["blocks"]["mlp"]["wfc"]),
+        np.asarray(p2["blocks"]["mlp"]["wfc"]),
+        rtol=1e-4,
+        atol=1e-5,
+    )
