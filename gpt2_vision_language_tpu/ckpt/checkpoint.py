@@ -68,9 +68,32 @@ def _unflatten(flat: Dict[str, np.ndarray]):
     return tree
 
 
+def tree_to_host(tree) -> Any:
+    """Fetch a (possibly mesh-sharded) pytree to host numpy.
+
+    Fully-addressable arrays (single-process, any sharding) come back via
+    device_get. On multi-host meshes, TP/SP-sharded leaves are not fully
+    addressable: they are reassembled with a process_allgather — a
+    COLLECTIVE, so this must be called on every process (the reference's
+    master-only `torch.save` works because DDP replicates everything,
+    train_gpt2.py:363-375; with model parallelism the gather has to happen
+    everywhere and only the WRITE is master-only)."""
+
+    def leaf(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            if x.is_fully_replicated:
+                return np.asarray(x.addressable_data(0))
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return np.asarray(jax.device_get(x))
+
+    return jax.tree.map(leaf, tree)
+
+
 def save_checkpoint(path: str, tree: Any, meta: Optional[dict] = None) -> None:
     """Atomically write `tree` (+ JSON-able `meta`) to `path` (.npz)."""
-    tree = jax.device_get(tree)
+    tree = tree_to_host(tree)
     flat = _flatten(tree)
     meta_json = json.dumps(meta or {})
     directory = os.path.dirname(os.path.abspath(path)) or "."
@@ -107,21 +130,36 @@ class CheckpointManager:
     BEST = "model_best.npz"
     FINAL = "model_final.npz"
 
-    def __init__(self, ckpt_dir: str, save_every: int = 2500, async_save: bool = True):
+    def __init__(
+        self,
+        ckpt_dir: str,
+        save_every: int = 2500,
+        async_save: bool = True,
+        is_master: bool = True,
+    ):
+        """is_master: multi-host runs construct the manager on EVERY process
+        and call save_step/save_final on every process (the host gather is
+        a collective for model-parallel shardings — see tree_to_host); only
+        the master process touches the filesystem."""
         self.dir = ckpt_dir
         self.save_every = save_every
         self.best_val = float("inf")
         self.async_save = async_save
+        self.is_master = is_master
         self._inflight = {}  # path -> last writer thread (ordering)
-        os.makedirs(ckpt_dir, exist_ok=True)
+        if is_master:
+            os.makedirs(ckpt_dir, exist_ok=True)
 
     def _write(self, path, tree, meta):
+        # collective on multi-host model-parallel shardings: all processes
+        # gather, only the master writes
+        host_tree = tree_to_host(tree)
+        if not self.is_master:
+            return
         if not self.async_save:
-            save_checkpoint(path, tree, meta)
+            save_checkpoint(path, host_tree, meta)
             return
         import threading
-
-        host_tree = jax.device_get(tree)
         prev = self._inflight.get(path)
 
         def run():
@@ -179,5 +217,8 @@ class CheckpointManager:
     def save_final(self, step: int, params, opt_state, val_loss=None, meta=None) -> None:
         m = dict(meta or {})
         m.update({"step": step, "val_loss": val_loss})
-        save_checkpoint(self.final_path, self.state_tree(params, opt_state), m)
+        # gather is collective (all processes), write is master-only, sync
+        host_tree = tree_to_host(self.state_tree(params, opt_state))
+        if self.is_master:
+            save_checkpoint(self.final_path, host_tree, m)
         self.wait()

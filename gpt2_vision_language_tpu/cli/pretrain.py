@@ -36,6 +36,11 @@ def main(argv=None):
     )
     p.add_argument("--devices", type=int, default=None)
     p.add_argument(
+        "--opt-state-dtype", choices=["float32", "bfloat16"], default=None,
+        help="AdamW m/v storage dtype; bfloat16 halves optimizer HBM "
+        "(fits 774M on a 16GB chip), update math stays fp32",
+    )
+    p.add_argument(
         "--remat",
         choices=["none", "full", "save_attn", "recompute_gelu", "recompute_mlp"],
         default="none",
@@ -56,6 +61,8 @@ def main(argv=None):
         updates["total_batch_size"] = args.total_batch
     if args.no_hellaswag:
         updates["run_hellaswag"] = False
+    if args.opt_state_dtype:
+        updates["opt_state_dtype"] = args.opt_state_dtype
     if args.synthetic:
         from ..data.fineweb import write_synthetic_corpus
 

@@ -158,6 +158,9 @@ class PretrainConfig:
     data_dir: Optional[str] = None  # defaults to $FW_OUT_DIR or edu_fineweb10B
     log_dir: Optional[str] = None  # defaults to $LOG_DIR or log
     seed: int = 1337
+    # "bfloat16" halves AdamW m/v HBM (what fits GPT-2 774M on a 16GB
+    # v5e chip); None = fp32, the reference-parity default
+    opt_state_dtype: Optional[str] = None
 
     def grad_accum_steps(self, world_size: int) -> int:
         denom = self.micro_batch_size * self.seq_len * world_size

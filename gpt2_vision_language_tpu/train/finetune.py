@@ -224,7 +224,9 @@ def run_finetune(
 
     log = MetricsLogger(cfg.log_dir, is_master=master)
     manager = CheckpointManager(
-        os.path.join(log.log_dir, "ckpts"), save_every=cfg.save_every
+        os.path.join(log.log_dir, "ckpts"),
+        save_every=cfg.save_every,
+        is_master=master,
     )
     from ..infer.decode import Decoder
     from ..infer.sampling import sample_top_p
@@ -263,8 +265,9 @@ def run_finetune(
         raw = val_batcher.next_accum_index_batch(cfg.val_steps)
         val_loss = float(eval_step(params, batch_to_device(raw, True), val_bank))
         log.val(step, val_loss)
-        if master:
-            manager.save_step(step, params, opt_state, val_loss, last_step=last_step)
+        # every process (collective gather for model-parallel shardings;
+        # master-only write — see CheckpointManager.is_master)
+        manager.save_step(step, params, opt_state, val_loss, last_step=last_step)
         # CIDEr runs on EVERY process: the jitted decode reads the global
         # (non-addressable on multi-host) params, so skipping it on
         # non-master processes would deadlock the next collective program.
@@ -326,7 +329,7 @@ def run_finetune(
         )
 
     prefetch.close()
+    manager.save_final(max_steps - 1, params, opt_state, val_loss)
     if master:
-        manager.save_final(max_steps - 1, params, opt_state, val_loss)
         log.export_xlsx()
     return {"params": params, "opt_state": opt_state, "val_loss": val_loss}

@@ -91,7 +91,12 @@ def run_pretrain(
         )
 
     params = gpt2.init(jax.random.PRNGKey(cfg.seed), model_cfg)
-    opt_state = adamw_init(params)
+    opt_state = adamw_init(
+        params,
+        state_dtype=jnp.dtype(cfg.opt_state_dtype)
+        if cfg.opt_state_dtype
+        else None,
+    )
     if master:
         n = gpt2.param_count(params)
         print(f"[init] parameters: {n:,}")
@@ -107,7 +112,9 @@ def run_pretrain(
     log = MetricsLogger(cfg.log_dir, is_master=master)
     prof = ProfilerHook()
     ckpt_dir = os.path.join(log.log_dir, "ckpts")
-    manager = CheckpointManager(ckpt_dir, save_every=cfg.save_every)
+    manager = CheckpointManager(
+        ckpt_dir, save_every=cfg.save_every, is_master=master
+    )
     hella = HellaSwagEvaluator(model_cfg, policy=policy)
     decoder = Decoder(model_cfg, policy=policy, sample_fn=sample_top_k)
 
@@ -150,10 +157,11 @@ def run_pretrain(
             vbatch = stage(val_loader.next_accum_rowbuf(cfg.val_steps))
             val_loss = float(eval_step(params, vbatch))
             log.val(step, val_loss)
-            if master:
-                manager.save_step(
-                    step, params, opt_state, val_loss, last_step=last_step
-                )
+            # every process: the host gather inside is a collective for
+            # model-parallel shardings; only master writes (tree_to_host)
+            manager.save_step(
+                step, params, opt_state, val_loss, last_step=last_step
+            )
 
         if (
             cfg.run_hellaswag
@@ -214,7 +222,7 @@ def run_pretrain(
         prof.step(step)
 
     prefetch.close()
+    manager.save_final(max_steps - 1, params, opt_state, val_loss)
     if master:
-        manager.save_final(max_steps - 1, params, opt_state, val_loss)
         log.export_xlsx()
     return {"params": params, "opt_state": opt_state, "val_loss": val_loss}

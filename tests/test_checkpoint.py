@@ -35,6 +35,34 @@ def test_roundtrip(tmp_path):
     assert int(loaded["nested"]["step"]) == 7
 
 
+def test_save_mesh_sharded_tree(tmp_path):
+    """TP-sharded leaves round-trip: tree_to_host reassembles the global
+    array before writing (multi-host meshes would take the allgather path;
+    here all shards are addressable so device_get suffices)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gpt2_vision_language_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8, ("data", "model"), shape=(2, 4))
+    w = jnp.arange(8 * 128, dtype=jnp.float32).reshape(8, 128)
+    sharded = jax.device_put(w, NamedSharding(mesh, P(None, "model")))
+    p = str(tmp_path / "ck.npz")
+    save_checkpoint(p, {"w": sharded}, {})
+    loaded, _ = load_checkpoint(p)
+    np.testing.assert_array_equal(loaded["w"], np.asarray(w))
+
+
+def test_manager_non_master_never_writes(tmp_path):
+    """Multi-host discipline: non-master managers participate in the host
+    gather but never touch the filesystem."""
+    d = str(tmp_path / "ckpts")
+    m = CheckpointManager(d, save_every=1, is_master=False)
+    m.save_step(1, _tree(), {"s": jnp.zeros(())}, 0.5, last_step=True)
+    m.save_final(1, _tree(), {"s": jnp.zeros(())}, 0.5)
+    m.wait()
+    assert not os.path.exists(d)
+
+
 def test_overwrite_is_atomic_no_tmp_left(tmp_path):
     p = str(tmp_path / "ck.npz")
     save_checkpoint(p, _tree(), {})

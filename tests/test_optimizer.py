@@ -103,6 +103,32 @@ def test_trainable_mask_freezes():
     np.testing.assert_allclose(float(norm), np.sqrt(8 * 128), rtol=1e-6)
 
 
+def test_bf16_state_tracks_fp32_trajectory():
+    """Compact (bf16) m/v states: update math is fp32 with one rounding per
+    step at store, so a short trajectory must stay close to the fp32-state
+    trajectory (this is the opt-in memory mode that fits 774M on a 16GB
+    chip)."""
+    rng = np.random.RandomState(0)
+    params32 = {"w": jnp.asarray(rng.randn(16, 128), jnp.float32)}
+    params16 = jax.tree.map(lambda p: p, params32)
+    s32 = adamw_init(params32)
+    s16 = adamw_init(params32, state_dtype=jnp.bfloat16)
+    assert s16["m"]["w"].dtype == jnp.bfloat16
+    cfg = OptimizerConfig()
+    for i in range(10):
+        g = {"w": jnp.asarray(rng.randn(16, 128) * 0.1, jnp.float32)}
+        params32, s32, _ = adamw_update(
+            params32, g, s32, jnp.float32(1e-2), cfg, decay_mask={"w": True}
+        )
+        params16, s16, _ = adamw_update(
+            params16, g, s16, jnp.float32(1e-2), cfg, decay_mask={"w": True}
+        )
+    assert s16["v"]["w"].dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(params16["w"]), np.asarray(params32["w"]), atol=5e-3
+    )
+
+
 def test_fused_leaf_matches_xla():
     from gpt2_vision_language_tpu.ops import fused_adamw as fa
 
