@@ -62,6 +62,19 @@ def sdpa(q, k, v, *, causal: bool, impl: str = "auto"):
         from .flash_attention import flash_attention
 
         return flash_attention(q, k, v, causal=causal)
+    if impl == "ring":
+        # sequence-sharded long-context path: requires set_ring_mesh()
+        # to have been called with the mesh + axis to ring over
+        from . import ring_attention as ra
+
+        assert ra.RING_MESH is not None, (
+            "attn_impl='ring' needs ops.ring_attention.set_ring_mesh(mesh)"
+        )
+        mesh, axis_name, batch_axis = ra.RING_MESH
+        return ra.ring_attention(
+            q, k, v, mesh, axis_name=axis_name, batch_axis=batch_axis,
+            causal=causal,
+        )
     return xla_sdpa(q, k, v, causal=causal)
 
 

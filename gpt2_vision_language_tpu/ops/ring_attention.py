@@ -38,6 +38,17 @@ from .attention import xla_sdpa
 
 NEG_INF = -1e30
 
+# (mesh, ring_axis, batch_axis) consumed by ops.attention.sdpa(impl="ring")
+# so the model's attn_impl flag can select the ring path without threading
+# mesh objects through every layer signature.
+RING_MESH = None
+
+
+def set_ring_mesh(mesh: Mesh, axis_name: str = "model",
+                  batch_axis: str | None = "data") -> None:
+    global RING_MESH
+    RING_MESH = (mesh, axis_name, batch_axis) if mesh is not None else None
+
 
 def _local_attn_stats(q, k, v, *, causal, scale):
     """Blockwise attention over local chunks returning (acc, m, l) partials.

@@ -48,6 +48,39 @@ def test_ring_grads_match_single_device():
         )
 
 
+def test_gpt2_forward_with_ring_attn_impl():
+    """attn_impl="ring" end to end through the decoder: loss must match the
+    xla attention path (the long-context training wiring)."""
+    from gpt2_vision_language_tpu.core.config import GPTConfig
+    from gpt2_vision_language_tpu.core.precision import FP32_POLICY
+    from gpt2_vision_language_tpu.models import gpt2
+    from gpt2_vision_language_tpu.ops import ring_attention as ra
+
+    assert jax.device_count() >= 8
+    mesh = make_mesh(8, ("data", "model"), shape=(2, 4))
+    cfg = GPTConfig(block_size=16, vocab_size=128, n_layer=2, n_head=2,
+                    n_embd=32)
+    params = gpt2.init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.randint(jax.random.PRNGKey(1), (4, 16), 0, 128)
+    y = jnp.roll(x, -1, axis=-1)
+
+    _, ref = jax.jit(
+        lambda p, x, y: gpt2.apply(
+            p, x, cfg, targets=y, policy=FP32_POLICY, attn_impl="xla"
+        )
+    )(params, x, y)
+    ra.set_ring_mesh(mesh)
+    try:
+        _, got = jax.jit(
+            lambda p, x, y: gpt2.apply(
+                p, x, cfg, targets=y, policy=FP32_POLICY, attn_impl="ring"
+            )
+        )(params, x, y)
+    finally:
+        ra.set_ring_mesh(None)
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
+
+
 def test_ring_trivial_on_1d_mesh():
     """axis absent / size-1 ring degrades to plain attention."""
     mesh = make_mesh(2, ("data", "model"), shape=(2, 1))
