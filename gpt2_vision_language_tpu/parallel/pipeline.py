@@ -1,0 +1,127 @@
+"""GPipe-style pipeline parallelism over a "pipe" mesh axis.
+
+The reference has no model parallelism of any kind (DDP only,
+/root/reference/source/gpt2/train_gpt2.py:215-236). This module completes
+the framework's parallelism matrix (DP = batch sharding, TP = Megatron
+column/row sharding, SP = residual/ring sequence sharding, PP = here): the
+scan-stacked block parameters (L, ...) are sharded on their LAYER axis so
+each device owns a contiguous stage of L/S layers, and microbatches stream
+through the stages with `jax.lax.ppermute` hops — the classic GPipe
+schedule with M + S - 1 ticks and (S-1)/(M+S-1) bubble overhead.
+
+TPU-native shape: one `shard_map` program per stage; activations hop
+stage→stage over ICI; no host coordination. Differentiable end-to-end
+(scan + ppermute + psum are all differentiable), so `jax.grad` of a
+pipelined loss works — pinned against the single-device decoder in
+tests/test_pipeline.py on a CPU mesh.
+
+Scope: validated scaling extension. The production train step keeps the
+DP(+TP/SP) GSPMD path; wire this into a workload when a model no longer
+fits a TP group (e.g. 1.5B+ across hosts).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..core.precision import Policy, DEFAULT_POLICY
+
+
+def stage_param_specs(block_params, axis_name: str = "pipe"):
+    """PartitionSpec pytree sharding every (L, ...) leaf on its layer axis."""
+    return jax.tree.map(
+        lambda p: P(axis_name, *([None] * (p.ndim - 1))), block_params
+    )
+
+
+def pipeline_run_blocks(
+    block_params,
+    x,
+    cfg,
+    mesh: Mesh,
+    *,
+    axis_name: str = "pipe",
+    n_micro: int = 2,
+    policy: Policy = DEFAULT_POLICY,
+    attn_impl: str = "xla",
+):
+    """Run the decoder blocks over embedded inputs x (B, T, C), with layers
+    sharded into pipeline stages on `axis_name` and the batch split into
+    `n_micro` microbatches. Returns the same value as
+    models.gpt2.run_blocks up to fp32 reduction order."""
+    from ..models.gpt2 import block
+
+    n_stage = mesh.shape[axis_name]
+    assert cfg.n_layer % n_stage == 0, (cfg.n_layer, n_stage)
+    b = x.shape[0]
+    assert b % n_micro == 0, (b, n_micro)
+    if n_stage == 1:
+        from ..models.gpt2 import run_blocks
+
+        return run_blocks(
+            {"blocks": block_params}, x, cfg, policy=policy,
+            attn_impl=attn_impl,
+        )
+    xm = x.reshape(n_micro, b // n_micro, *x.shape[1:])
+    ticks = n_micro + n_stage - 1
+    perm = [(i, (i + 1) % n_stage) for i in range(n_stage)]
+
+    def stage_fn(bp, xm):
+        s = jax.lax.axis_index(axis_name)
+
+        def run_local(h):
+            def body(c, lp):
+                return (
+                    block(lp, c, None, cfg, policy=policy, attn_impl=attn_impl),
+                    None,
+                )
+
+            h, _ = jax.lax.scan(body, h, bp)
+            return h
+
+        def tick(carry, t):
+            recv, acc = carry
+            mb = t - s
+            first_in = jax.lax.dynamic_index_in_dim(
+                xm, jnp.clip(t, 0, n_micro - 1), 0, keepdims=False
+            )
+            inp = jnp.where(s == 0, first_in, recv)
+            out = run_local(inp)
+            # the last stage banks microbatch mb's output on valid ticks;
+            # bubble ticks compute garbage that is simply never stored
+            store = jnp.logical_and(
+                jnp.logical_and(mb >= 0, mb < n_micro), s == n_stage - 1
+            )
+            idx = jnp.clip(mb, 0, n_micro - 1)
+            acc = jnp.where(
+                store,
+                jax.lax.dynamic_update_index_in_dim(acc, out, idx, 0),
+                acc,
+            )
+            send = jax.lax.ppermute(out, axis_name, perm)
+            return (send, acc), None
+
+        # carries must enter the scan already marked as varying over the
+        # pipe axis (ppermute outputs are), or the carry types mismatch
+        pvary = lambda a: jax.lax.pcast(a, (axis_name,), to="varying")
+        recv0 = pvary(jnp.zeros_like(xm[0]))
+        acc0 = pvary(jnp.zeros_like(xm))
+        (_, acc), _ = jax.lax.scan(
+            tick, (recv0, acc0), jnp.arange(ticks)
+        )
+        # only the last stage holds real outputs; psum replicates them
+        acc = jnp.where(s == n_stage - 1, acc, jnp.zeros_like(acc))
+        return jax.lax.psum(acc, axis_name)
+
+    pspecs = stage_param_specs(block_params, axis_name)
+    out = jax.shard_map(
+        stage_fn,
+        mesh=mesh,
+        in_specs=(pspecs, P()),
+        out_specs=P(),
+    )(block_params, xm)
+    return out.reshape(b, *x.shape[1:])
