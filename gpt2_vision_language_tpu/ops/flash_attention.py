@@ -74,12 +74,12 @@ def _pick_block(t: int, want: int) -> int:
 
 
 def _pad_t(x, t_pad, value=0.0):
+    """Pad axis 1 (the sequence axis in every internal layout) to t_pad."""
     t = x.shape[1]
     if t == t_pad:
         return x
-    return jnp.pad(
-        x, ((0, 0), (0, t_pad - t), (0, 0)), constant_values=value
-    )
+    widths = [(0, 0), (0, t_pad - t)] + [(0, 0)] * (x.ndim - 2)
+    return jnp.pad(x, widths, constant_values=value)
 
 
 def _num_kv_blocks(iq, *, bq, bk, tk, q_off, causal):
@@ -623,6 +623,8 @@ def _flash_bwd(causal, bq, bk, bq_bwd, bk_bwd, stream_kv, interpret, res, do):
 _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
+
+
 def flash_attention(
     q,
     k,
@@ -635,8 +637,17 @@ def flash_attention(
     block_k_bwd: int | None = None,
     stream_kv: bool | None = None,
     interpret: bool = False,
+    layout: str = "bhtd",
 ):
-    """Flash attention over (B, H, Tq, hs) x (B, H, Tk, hs).
+    """Flash attention over (B, H, Tq, hs) x (B, H, Tk, hs) — or, with
+    layout="bthd", over (B, Tq, H, hs) x (B, Tk, H, hs).
+
+    The bthd layout is what the fused-QKV projection yields after a free
+    reshape; the kernels read strided per-head tiles via BlockSpec index
+    maps, so callers skip the (B,H,T,hs) transpose entirely (~1.6 ms/micro
+    of fwd copies at the 124M pretrain shape, plus mirrors in the
+    backward). The long-T tile-streamed path is bhtd-only: bthd inputs
+    that trip STREAM_KV_BYTES are transposed and routed through it.
 
     Tq and Tk may differ and need no particular alignment (inputs are
     block-padded internally; padded keys are masked, padded query rows
@@ -646,18 +657,39 @@ def flash_attention(
     past STREAM_KV_BYTES of K+V per (b, h); `interpret=True` runs the
     kernels in the Pallas interpreter for CPU tests.
     """
-    assert q.shape[-1] == k.shape[-1] and k.shape[:2] == q.shape[:2]
-    assert k.shape == v.shape
-    assert not (causal and q.shape[2] > k.shape[2]), (
+    t_axis = 1 if layout == "bthd" else 2
+    assert q.shape[-1] == k.shape[-1] and k.shape == v.shape
+    tq, tk = q.shape[t_axis], k.shape[t_axis]
+    assert not (causal and tq > tk), (
         "causal flash requires Tq <= Tk (right-aligned queries); "
-        f"got Tq={q.shape[2]} Tk={k.shape[2]}"
+        f"got Tq={tq} Tk={tk}"
     )
     if stream_kv is None:
-        tk_pad = _round_up(k.shape[2], _pick_block(k.shape[2], block_k))
+        tk_pad = _round_up(tk, _pick_block(tk, block_k))
         kv_bytes = 2 * tk_pad * k.shape[-1] * k.dtype.itemsize
         stream_kv = kv_bytes > STREAM_KV_BYTES
+    interpret = interpret or FORCE_INTERPRET
+    bq_bwd = block_q_bwd or DEFAULT_BLOCK_Q_BWD
+    bk_bwd = block_k_bwd or DEFAULT_BLOCK_K_BWD
+    if layout == "bthd":
+        # Transpose onto the bhtd grids. A direct bthd kernel was built
+        # and numerically validated in interpreter mode, but on-device
+        # Mosaic cannot lower per-head access into the tiled trailing
+        # (H, hs) dims: dynamic head indices are rejected, static ones
+        # trip an unsupported (bq, hs)->(1, bq, 1, hs) relayout, and the
+        # 3-D (B, T, C) variant with static 64-lane head offsets HANGS
+        # the Mosaic compiler outright (ROUND_NOTES round 2). Until the
+        # toolchain lowers sub-tile lane slicing, the transpose stays —
+        # callers still win on the einsum paths, which consume bthd
+        # natively (attention.xla_sdpa).
+        tr = lambda a: a.transpose(0, 2, 1, 3)
+        out = _flash(
+            tr(q), tr(k), tr(v), causal, block_q, block_k,
+            bq_bwd, bk_bwd, stream_kv, interpret,
+        )
+        return tr(out)
+    assert k.shape[:2] == q.shape[:2]
     return _flash(
-        q, k, v, causal, block_q, block_k,
-        block_q_bwd or DEFAULT_BLOCK_Q_BWD, block_k_bwd or DEFAULT_BLOCK_K_BWD,
-        stream_kv, interpret or FORCE_INTERPRET,
+        q, k, v, causal, block_q, block_k, bq_bwd, bk_bwd,
+        stream_kv, interpret,
     )

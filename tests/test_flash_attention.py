@@ -46,6 +46,70 @@ def test_backward_matches_xla():
         )
 
 
+@pytest.mark.parametrize("t,bq,bk", [(256, 128, 128), (384, 256, 128)])
+def test_bthd_forward_matches_bhtd(t, bq, bk):
+    """The transpose-free (B, T, H, hs) layout must agree with the classic
+    layout bit-for-bit in interpreter mode (same tile math, different
+    BlockSpec index maps)."""
+    q, k, v = _rand_qkv(jax.random.PRNGKey(4), 2, 3, t, 64)
+    ref = flash_attention(
+        q, k, v, causal=True, block_q=bq, block_k=bk, interpret=True
+    )
+    tr = lambda a: a.transpose(0, 2, 1, 3)
+    out = flash_attention(
+        tr(q), tr(k), tr(v), causal=True, block_q=bq, block_k=bk,
+        interpret=True, layout="bthd",
+    )
+    np.testing.assert_array_equal(np.asarray(tr(out)), np.asarray(ref))
+
+
+def test_bthd_backward_matches_bhtd():
+    q, k, v = _rand_qkv(jax.random.PRNGKey(5), 1, 2, 256, 64)
+    tr = lambda a: a.transpose(0, 2, 1, 3)
+
+    def loss_ref(q, k, v):
+        o = flash_attention(
+            q, k, v, causal=True, block_q=128, block_k=128, interpret=True
+        )
+        return jnp.sum(jnp.sin(o))
+
+    def loss_bthd(q, k, v):
+        o = flash_attention(
+            tr(q), tr(k), tr(v), causal=True, block_q=128, block_k=128,
+            interpret=True, layout="bthd",
+        )
+        return jnp.sum(jnp.sin(tr(o)))
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    gb = jax.grad(loss_bthd, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gb, gr, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-6,
+            err_msg=f"d{name}",
+        )
+
+
+def test_bthd_ragged_and_streamed_fallback():
+    """Unaligned T works in bthd; past the stream threshold the bthd entry
+    transposes onto the streamed bhtd grid and still matches XLA."""
+    q, k, v = _rand_qkv(jax.random.PRNGKey(6), 1, 2, 200, 64)
+    tr = lambda a: a.transpose(0, 2, 1, 3)
+    ref = xla_sdpa(q, k, v, causal=True)
+    out = flash_attention(
+        tr(q), tr(k), tr(v), causal=True, interpret=True, layout="bthd"
+    )
+    np.testing.assert_allclose(
+        np.asarray(tr(out)), np.asarray(ref), atol=2e-5, rtol=2e-5
+    )
+    out2 = flash_attention(
+        tr(q), tr(k), tr(v), causal=True, interpret=True, layout="bthd",
+        stream_kv=True, block_q=128, block_k=128,
+    )
+    np.testing.assert_allclose(
+        np.asarray(tr(out2)), np.asarray(ref), atol=2e-5, rtol=2e-5
+    )
+
+
 def test_backward_noncausal_matches_xla():
     q, k, v = _rand_qkv(jax.random.PRNGKey(2), 1, 2, 256, 64)
 
