@@ -150,10 +150,10 @@ class CheckpointManager:
         if is_master:
             os.makedirs(ckpt_dir, exist_ok=True)
 
-    def _write(self, path, tree, meta):
-        # collective on multi-host model-parallel shardings: all processes
-        # gather, only the master writes
-        host_tree = tree_to_host(tree)
+    def _write(self, path, host_tree, meta):
+        """Write an ALREADY-GATHERED host tree (callers run tree_to_host
+        once per step — it is the expensive, blocking device->host fetch
+        and, on multi-host model-parallel shardings, a collective)."""
         if not self.is_master:
             return
         if not self.async_save:
@@ -191,11 +191,37 @@ class CheckpointManager:
         return os.path.join(self.dir, self.FINAL)
 
     def maybe_resume(self) -> Optional[Tuple[Any, dict]]:
-        """Auto-resume from rolling `last` if present (train_gpt2.py:319-325)."""
+        """Auto-resume from rolling `last` if present (train_gpt2.py:319-325).
+
+        Also re-seeds best_val from model_best's metadata so a resumed run
+        cannot clobber the historic best checkpoint with a worse model
+        (best_val would otherwise restart at +inf). Multi-host: every
+        process must see the same checkpoint files (shared or synced
+        filesystem) — verified with an allgather of the resumed step."""
         self.wait()
-        if os.path.isfile(self.last_path):
-            return load_checkpoint(self.last_path)
-        return None
+        if os.path.isfile(self.best_path):
+            try:
+                _, best_meta = load_checkpoint(self.best_path)
+                if best_meta.get("val_loss") is not None:
+                    self.best_val = float(best_meta["val_loss"])
+            except Exception:
+                pass  # unreadable best: keep +inf, never block resume
+        found = os.path.isfile(self.last_path)
+        resumed = load_checkpoint(self.last_path) if found else None
+        if jax.process_count() > 1:
+            import numpy as _np
+            from jax.experimental import multihost_utils
+
+            step = int(resumed[1].get("step", -1)) if resumed else -1
+            steps = multihost_utils.process_allgather(
+                _np.asarray([step], _np.int64)
+            )
+            assert int(steps.min()) == int(steps.max()), (
+                "checkpoint resume state differs across processes "
+                f"(steps {steps.ravel().tolist()}): every process needs "
+                "the same shared/synced checkpoint directory"
+            )
+        return resumed
 
     def state_tree(self, params, opt_state) -> dict:
         return {"params": params, "opt_state": opt_state}
@@ -207,12 +233,19 @@ class CheckpointManager:
         (train_gpt2.py:363-391)."""
         m = dict(meta or {})
         m.update({"step": step, "val_loss": float(val_loss)})
-        tree = self.state_tree(params, opt_state)
-        if step > 0 and (step % self.save_every == 0 or last_step):
-            self._write(self.last_path, tree, m)
-        if val_loss < self.best_val:
+        rolling = step > 0 and (step % self.save_every == 0 or last_step)
+        best = val_loss < self.best_val
+        if not (rolling or best):
+            return
+        # one device->host gather per step, shared by both writes (and on
+        # multi-host a collective — val_loss is replicated, so every
+        # process takes this branch identically)
+        host_tree = tree_to_host(self.state_tree(params, opt_state))
+        if rolling:
+            self._write(self.last_path, host_tree, m)
+        if best:
             self.best_val = float(val_loss)
-            self._write(self.best_path, tree, m)
+            self._write(self.best_path, host_tree, m)
 
     def save_final(self, step: int, params, opt_state, val_loss=None, meta=None) -> None:
         m = dict(meta or {})

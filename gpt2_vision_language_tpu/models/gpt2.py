@@ -122,10 +122,11 @@ def self_attention(p, x, cfg: GPTConfig, *, policy: Policy, attn_impl: str):
     """Causal self-attention with fused QKV (train_gpt2.py:33-43).
 
     Heads are kept in the (B, T, H, hs) layout the fused projection
-    yields for free: both the flash kernel (strided BlockSpec tiles) and
-    the einsum path consume it directly, so no (B, H, T, hs) transpose is
-    materialized — measured ~1.6 ms/micro of pure copies at the 124M
-    pretrain shape before this (round-2 profile), plus bwd mirrors."""
+    yields for free. The einsum path (caption/cross-attn/CPU) consumes it
+    with no (B, H, T, hs) transpose; the flash path still transposes
+    INTERNALLY (Mosaic cannot lower per-head tiled access — see
+    ops/flash_attention.py bthd notes), so the pretrain hot path keeps
+    its ~1.6 ms/micro of head copies for now."""
     b, t, c = x.shape
     qkv = linear(x, p["wqkv"], p["bqkv"], policy=policy)
     q, k, v = jnp.split(qkv, 3, axis=-1)

@@ -643,11 +643,12 @@ def flash_attention(
     layout="bthd", over (B, Tq, H, hs) x (B, Tk, H, hs).
 
     The bthd layout is what the fused-QKV projection yields after a free
-    reshape; the kernels read strided per-head tiles via BlockSpec index
-    maps, so callers skip the (B,H,T,hs) transpose entirely (~1.6 ms/micro
-    of fwd copies at the 124M pretrain shape, plus mirrors in the
-    backward). The long-T tile-streamed path is bhtd-only: bthd inputs
-    that trip STREAM_KV_BYTES are transposed and routed through it.
+    reshape. NOTE: on this path the head transpose is NOT eliminated —
+    flash_attention transposes to bhtd internally (Mosaic cannot lower
+    per-head access into tiled (H, hs) trailing dims; see the comment in
+    the bthd branch below and ROUND_NOTES). Accepting bthd here keeps one
+    caller-facing layout; only the einsum path (`attention.xla_sdpa`)
+    consumes bthd transpose-free today.
 
     Tq and Tk may differ and need no particular alignment (inputs are
     block-padded internally; padded keys are masked, padded query rows
@@ -658,7 +659,11 @@ def flash_attention(
     kernels in the Pallas interpreter for CPU tests.
     """
     t_axis = 1 if layout == "bthd" else 2
+    h_axis = 2 if layout == "bthd" else 1
     assert q.shape[-1] == k.shape[-1] and k.shape == v.shape
+    assert (
+        q.shape[0] == k.shape[0] and q.shape[h_axis] == k.shape[h_axis]
+    ), f"batch/head mismatch: q {q.shape} vs k {k.shape} (layout={layout})"
     tq, tk = q.shape[t_axis], k.shape[t_axis]
     assert not (causal and tq > tk), (
         "causal flash requires Tq <= Tk (right-aligned queries); "
@@ -688,7 +693,6 @@ def flash_attention(
             bq_bwd, bk_bwd, stream_kv, interpret,
         )
         return tr(out)
-    assert k.shape[:2] == q.shape[:2]
     return _flash(
         q, k, v, causal, block_q, block_k, bq_bwd, bk_bwd,
         stream_kv, interpret,

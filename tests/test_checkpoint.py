@@ -63,6 +63,28 @@ def test_manager_non_master_never_writes(tmp_path):
     assert not os.path.exists(d)
 
 
+def test_resume_preserves_best_val(tmp_path):
+    """After a restart, maybe_resume must re-seed best_val from
+    model_best's metadata so a worse post-resume val loss cannot clobber
+    the historic best checkpoint."""
+    d = str(tmp_path / "ckpts")
+    m1 = CheckpointManager(d, save_every=1, async_save=False)
+    m1.save_step(1, _tree(), {"s": jnp.zeros(())}, 3.1, last_step=True)
+    assert os.path.isfile(m1.best_path)
+
+    m2 = CheckpointManager(d, save_every=1, async_save=False)
+    resumed = m2.maybe_resume()
+    assert resumed is not None and m2.best_val == 3.1
+    # a worse val loss must NOT overwrite best
+    m2.save_step(2, _tree(), {"s": jnp.zeros(())}, 3.4, last_step=True)
+    _, meta = load_checkpoint(m2.best_path)
+    assert meta["val_loss"] == 3.1
+    # a better one must
+    m2.save_step(3, _tree(), {"s": jnp.zeros(())}, 2.9, last_step=True)
+    _, meta = load_checkpoint(m2.best_path)
+    assert meta["val_loss"] == 2.9
+
+
 def test_overwrite_is_atomic_no_tmp_left(tmp_path):
     p = str(tmp_path / "ck.npz")
     save_checkpoint(p, _tree(), {})
