@@ -16,6 +16,12 @@ import tempfile
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--steps", type=int, default=None, help="override max_steps")
+    p.add_argument(
+        "--model", choices=["124M", "350M", "774M", "1558M"], default="124M",
+        help="GPT-2 family preset (core/config.py); 124M is the reference "
+        "workload. 350M fits a 16GB chip no-remat; 774M needs "
+        "--opt-state-dtype bfloat16 and --remat full",
+    )
     p.add_argument("--micro-batch", type=int, default=None)
     p.add_argument("--seq-len", type=int, default=None)
     p.add_argument("--total-batch", type=int, default=None)
@@ -49,10 +55,21 @@ def main(argv=None):
     )
     args = p.parse_args(argv)
 
-    from ..core.config import PretrainConfig
+    from ..core.config import (
+        GPT2_124M,
+        GPT2_350M,
+        GPT2_774M,
+        GPT2_1558M,
+        PretrainConfig,
+    )
 
     cfg = PretrainConfig()
     updates = {}
+    if args.model != "124M":
+        preset = {
+            "350M": GPT2_350M, "774M": GPT2_774M, "1558M": GPT2_1558M
+        }[args.model]
+        updates["model"] = preset.replace(unroll_layers=args.model == "350M")
     if args.micro_batch:
         updates["micro_batch_size"] = args.micro_batch
     if args.seq_len:
