@@ -1,4 +1,11 @@
 from .mesh import make_mesh, batch_sharding, replicated, shard_batch, local_world
+from .sharding import (
+    gpt2_param_specs,
+    replicated_specs,
+    seq_parallel_sharding,
+    shard_params,
+)
+from .pipeline import pipeline_run_blocks, stage_param_specs
 
 __all__ = [
     "make_mesh",
@@ -6,4 +13,10 @@ __all__ = [
     "replicated",
     "shard_batch",
     "local_world",
+    "gpt2_param_specs",
+    "replicated_specs",
+    "seq_parallel_sharding",
+    "shard_params",
+    "pipeline_run_blocks",
+    "stage_param_specs",
 ]
