@@ -1,4 +1,4 @@
-.PHONY: test native bench bench-decode dryrun clean
+.PHONY: test native bench bench-finetune bench-decode dryrun clean
 
 test:
 	python -m pytest tests/ -q
@@ -8,6 +8,9 @@ native:
 
 bench:
 	python bench.py
+
+bench-finetune:
+	python bench.py --finetune
 
 bench-decode:
 	python -m gpt2_vision_language_tpu.cli.bench_decode --uncached-baseline
