@@ -1,6 +1,9 @@
 from .attention import sdpa, causal_sdpa, xla_sdpa
 from .layers import layer_norm, linear, gelu_tanh, embed
-from .ring_attention import ring_attention, set_ring_mesh
+# NOTE: the ring_attention FUNCTION is deliberately not re-exported here —
+# it would shadow the `ops.ring_attention` submodule attribute that
+# attention.sdpa (impl="ring") and tests import as a module.
+from .ring_attention import set_ring_mesh
 
 __all__ = [
     "sdpa",
@@ -10,6 +13,5 @@ __all__ = [
     "linear",
     "gelu_tanh",
     "embed",
-    "ring_attention",
     "set_ring_mesh",
 ]
