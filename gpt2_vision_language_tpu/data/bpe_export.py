@@ -98,7 +98,11 @@ def export_bpe(out_dir: str, encoding=None, *, specials=("<|endoftext|>",)) -> N
     merges = merges_from_mergeable_ranks(ranks)
 
     os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, "encoder.json"), "w") as f:
+    # utf-8 pinned: token strings contain byte-unicode chars ('Ġ' etc.)
+    # outside many locales' charsets, and ensure_ascii=False writes them raw
+    with open(
+        os.path.join(out_dir, "encoder.json"), "w", encoding="utf-8"
+    ) as f:
         json.dump(encoder, f, ensure_ascii=False)
     with open(os.path.join(out_dir, "vocab.bpe"), "w", encoding="utf-8") as f:
         f.write("#version: 0.2\n")

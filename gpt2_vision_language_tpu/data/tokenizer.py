@@ -56,7 +56,7 @@ class LocalBpeTokenizer:
     def __init__(self, encoder_path: str, vocab_bpe_path: str):
         import regex
 
-        with open(encoder_path) as f:
+        with open(encoder_path, encoding="utf-8") as f:
             self.encoder = json.load(f)
         self.decoder = {v: k for k, v in self.encoder.items()}
         with open(vocab_bpe_path, encoding="utf-8") as f:

@@ -164,8 +164,14 @@ def wordnet_groups() -> List[List[str]]:
 def load_synonym_table(path: str | None = None) -> Dict[str, Set[int]]:
     """Resolve the synonym table per the module docstring priority."""
     path = path or os.environ.get("METEOR_SYNONYMS")
-    if path and os.path.exists(path):
-        with open(path) as f:
+    if path:
+        # an explicitly configured table must not silently degrade to the
+        # builtin fallback — that would change METEOR scores with no signal
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"METEOR_SYNONYMS table not found: {path!r}"
+            )
+        with open(path, encoding="utf-8") as f:
             return parse_groups(f)
     try:
         return parse_groups(" ".join(g) for g in wordnet_groups())

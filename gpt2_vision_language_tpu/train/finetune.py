@@ -212,7 +212,9 @@ def run_finetune(
         n_total = gpt2.param_count(params)
         print(f"[init] trainable params: {n_train}/{n_total}")
 
-    opt_state = adamw_init(params)
+    # scalar moment placeholders for the frozen decoder (~1 GB HBM +
+    # checkpoint size saved at 124M; optimizer.adamw_init docstring)
+    opt_state = adamw_init(params, trainable_mask=trainable)
     train_step = make_train_step(
         loss_fn,
         cfg.optimizer,
@@ -302,6 +304,7 @@ def run_finetune(
         stage=lambda raw: batch_to_device(raw, True, with_dropout_seed=use_dropout),
     )
 
+    final_step = -1  # last step actually run (guard may halt early)
     for step in range(max_steps):
         t0 = time.time()
         last_step = step == max_steps - 1
@@ -313,9 +316,11 @@ def run_finetune(
             params, opt_state, batch, jnp.int32(step), train_bank
         )
         loss = float(metrics["loss"])
-        if not np.isfinite(loss):
-            print(f"[guard] non-finite loss at step {step}; halting")
+        if not (np.isfinite(loss) and np.isfinite(float(metrics["grad_norm"]))):
+            print(f"[guard] non-finite loss/grad at step {step}; halting")
+            final_step = step
             break
+        final_step = step
         dt = time.time() - t0
         avg_dt = dt if avg_dt is None else 0.9 * avg_dt + 0.1 * dt
         log.train(
@@ -329,7 +334,8 @@ def run_finetune(
         )
 
     prefetch.close()
-    manager.save_final(max_steps - 1, params, opt_state, val_loss)
+    # record the last step actually run, not the scheduled end
+    manager.save_final(final_step, params, opt_state, val_loss)
     if master:
         log.export_xlsx()
     return {"params": params, "opt_state": opt_state, "val_loss": val_loss}

@@ -27,21 +27,32 @@ def _tmap(f, *trees):
     return jax.tree.map(f, *trees)
 
 
-def adamw_init(params, state_dtype=None):
+def adamw_init(params, state_dtype=None, trainable_mask=None):
     """Zero moments. state_dtype=jnp.bfloat16 halves the m/v HBM footprint
     (the difference between GPT-2 774M fitting a 16GB v5e chip or not:
     fp32 params+m+v+gsum is ~15.5GB transient, bf16 m/v brings it to
     ~12.4GB). The update math still runs in fp32 — moments are upcast at
     use and rounded once per step at store (adamw_update). Opt-in: the
     reference (and our parity tests) keep fp32 state
-    (train_gpt2.py:127-144)."""
+    (train_gpt2.py:127-144).
 
-    def zeros(p):
-        return jnp.zeros(p.shape, state_dtype or p.dtype)
+    trainable_mask: frozen leaves get SCALAR placeholder moments instead of
+    full buffers — update_leaf never reads them ('if not trainable') — the
+    same trick train/step.py uses for grad accumulators. A finetune with
+    the 124M decoder frozen saves ~1 GB of HBM and the same in every
+    checkpoint."""
 
+    def zeros(p, trainable=True):
+        shape = p.shape if trainable else ()
+        return jnp.zeros(shape, state_dtype or p.dtype)
+
+    if trainable_mask is None:
+        moments = lambda: _tmap(zeros, params)
+    else:
+        moments = lambda: _tmap(zeros, params, trainable_mask)
     return {
-        "m": _tmap(zeros, params),
-        "v": _tmap(zeros, params),
+        "m": moments(),
+        "v": moments(),
         "step": jnp.zeros((), jnp.int32),
     }
 

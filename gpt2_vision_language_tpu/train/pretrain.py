@@ -78,8 +78,6 @@ def run_pretrain(
 
     model_cfg = cfg.model
 
-    b, t = cfg.micro_batch_size * world, cfg.seq_len
-
     def loss_fn(params, micro):
         # micro["rows"] is a (B, T+1) uint16 row buffer (~2 bytes/token over
         # the host->device link vs 8 for int32 x+y), batch-sharded over the
@@ -148,6 +146,7 @@ def run_pretrain(
     val_loss = float("nan")
     tokens_per_step = cfg.micro_batch_size * cfg.seq_len * accum * world
 
+    final_step = start_step - 1  # last step actually run (guard may halt)
     for step in range(start_step, max_steps):
         t0 = time.time()
         last_step = step == max_steps - 1
@@ -205,11 +204,14 @@ def run_pretrain(
             params, opt_state, batch, jnp.int32(step)
         )
         loss = float(metrics["loss"])  # syncs, like cuda.synchronize timing
-        if not np.isfinite(loss):
+        if not (np.isfinite(loss) and np.isfinite(float(metrics["grad_norm"]))):
             # failure detection: the step already rolled the update back
-            # (train/step.py guard); halt with usable checkpoints on disk
-            print(f"[guard] non-finite loss at step {step}; halting")
+            # (train/step.py guard — which also catches backward-only NaNs
+            # via the grad norm); halt with usable checkpoints on disk
+            print(f"[guard] non-finite loss/grad at step {step}; halting")
+            final_step = step
             break
+        final_step = step
         dt = time.time() - t0
         log.train(
             step,
@@ -222,7 +224,9 @@ def run_pretrain(
         prof.step(step)
 
     prefetch.close()
-    manager.save_final(max_steps - 1, params, opt_state, val_loss)
+    # final metadata records the last step actually run (a guard halt at
+    # step s must not stamp model_final as a completed schedule)
+    manager.save_final(final_step, params, opt_state, val_loss)
     if master:
         log.export_xlsx()
     return {"params": params, "opt_state": opt_state, "val_loss": val_loss}

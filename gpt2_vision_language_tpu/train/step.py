@@ -112,10 +112,13 @@ def make_train_step(
             trainable_mask=trainable_mask,
             use_fused=use_fused_adamw,
         )
-        # failure guard: if the loss went non-finite, keep the old state so
-        # the caller can halt and the last checkpoint stays usable (the
-        # reference has no failure detection at all, SURVEY.md §5)
-        ok = jnp.isfinite(loss)
+        # failure guard: if the loss OR the grad norm went non-finite, keep
+        # the old state so the caller can halt and the last checkpoint
+        # stays usable (the reference has no failure detection at all,
+        # SURVEY.md §5). The norm check matters: a NaN that appears only in
+        # the backward (e.g. 0*inf in a VJP) leaves the forward loss finite
+        # while poisoning every parameter through clip_scale.
+        ok = jnp.logical_and(jnp.isfinite(loss), jnp.isfinite(norm))
         new_params = jax.tree.map(
             lambda new, old: jnp.where(ok, new, old), new_params, params
         )
