@@ -468,7 +468,8 @@ def _q_index_map(*, bq, bk, q_off, causal):
     return index
 
 
-def _bwd(q, k, v, out, lse, do, *, causal, bq, bk, stream_kv, interpret):
+def _bwd(q, k, v, out, lse, do, *, causal, bq, bk, stream_kv, interpret,
+         dlse=None):
     b, h, tq, hs = q.shape
     tk = k.shape[2]
     bq, bk = _pick_block(tq, bq), _pick_block(tk, bk)
@@ -484,11 +485,15 @@ def _bwd(q, k, v, out, lse, do, *, causal, bq, bk, stream_kv, interpret):
     # exp(s) can overflow and inf * 0 -> NaN poisons dk/dv tiles
     lsef = _pad_t(lse, tq_pad, value=-NEG_INF)
     # D_i = rowsum(dout * out): cheap elementwise+reduce, leave it to XLA.
-    dcap = _pad_t(
-        jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
-        .reshape(b * h, tq, 1),
-        tq_pad,
-    )
+    dcap = jnp.sum(
+        do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
+    ).reshape(b * h, tq, 1)
+    if dlse is not None:
+        # lse cotangent (flash_attention_with_lse): d s_ij picks up
+        # p_ij * dlse_i on top of p_ij (dp_ij - D_i), i.e. exactly
+        # D_i -> D_i - dlse_i — no kernel change needed.
+        dcap = dcap - dlse.astype(jnp.float32).reshape(b * h, tq, 1)
+    dcap = _pad_t(dcap, tq_pad)
 
     full = lambda bh, i: (bh, 0, 0)
     qrow = lambda bh, i, *_: (bh, i, 0)
@@ -623,6 +628,64 @@ def _flash_bwd(causal, bq, bk, bq_bwd, bk_bwd, stream_kv, interpret, res, do):
 _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+def _flash_lse(q, k, v, causal, bq, bk, bq_bwd, bk_bwd, stream_kv, interpret):
+    out, lse = _fwd(
+        q, k, v, causal=causal, bq=bq, bk=bk, stream_kv=stream_kv,
+        interpret=interpret,
+    )
+    b, h, tq = q.shape[0], q.shape[1], q.shape[2]
+    return out, lse.reshape(b, h, tq, 1)
+
+
+def _flash_lse_fwd(q, k, v, causal, bq, bk, bq_bwd, bk_bwd, stream_kv,
+                   interpret):
+    out, lse = _fwd(
+        q, k, v, causal=causal, bq=bq, bk=bk, stream_kv=stream_kv,
+        interpret=interpret,
+    )
+    b, h, tq = q.shape[0], q.shape[1], q.shape[2]
+    return (out, lse.reshape(b, h, tq, 1)), (q, k, v, out, lse)
+
+
+def _flash_lse_bwd(causal, bq, bk, bq_bwd, bk_bwd, stream_kv, interpret,
+                   res, cts):
+    q, k, v, out, lse = res
+    do, dlse = cts
+    return _bwd(
+        q, k, v, out, lse, do, causal=causal, bq=bq_bwd, bk=bk_bwd,
+        stream_kv=stream_kv, interpret=interpret, dlse=dlse,
+    )
+
+
+_flash_lse.defvjp(_flash_lse_fwd, _flash_lse_bwd)
+
+
+def flash_attention_with_lse(
+    q,
+    k,
+    v,
+    *,
+    causal: bool = True,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: bool = False,
+):
+    """Like flash_attention (bhtd layout, non-streamed) but also returns
+    the per-row logsumexp as (B, H, Tq, 1) fp32 — the ingredient for
+    merging partial attention over key/value CHUNKS: given per-chunk
+    (out_c, lse_c), the exact total is
+    ``sum_c out_c * exp(lse_c - logaddexp_c lse_c)``. Used by
+    ops/ring_attention.py so each ring hop runs this kernel instead of an
+    einsum that would materialize the (Tq, Tk/n) score matrix.
+    Differentiable in BOTH outputs: the lse cotangent enters the FA-2
+    backward as D_i -> D_i - dlse_i (see _bwd)."""
+    assert q.shape[:2] == k.shape[:2] and k.shape == v.shape
+    return _flash_lse(
+        q, k, v, causal, block_q, block_k,
+        DEFAULT_BLOCK_Q_BWD, DEFAULT_BLOCK_K_BWD, False,
+        interpret or FORCE_INTERPRET,
+    )
 
 
 def flash_attention(

@@ -50,11 +50,11 @@ def set_ring_mesh(mesh: Mesh, axis_name: str = "model",
     RING_MESH = (mesh, axis_name, batch_axis) if mesh is not None else None
 
 
-def _local_attn_stats(q, k, v, *, causal, scale):
-    """Blockwise attention over local chunks returning (acc, m, l) partials.
+def _chunk_attn_einsum(q, k, v, *, causal, scale):
+    """Per-chunk attention returning NORMALIZED (out fp32, lse).
 
-    q: (B, H, Tq, hs), k/v: (B, H, Tk, hs). fp32 stats, unnormalized acc.
-    """
+    Reference path (CPU tests / small chunks): materializes the per-chunk
+    (Tq, Tk/n) score matrix. q: (B, H, Tq, hs), k/v: (B, H, Tk, hs)."""
     s = jnp.einsum(
         "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
     ) * scale
@@ -64,34 +64,50 @@ def _local_attn_stats(q, k, v, *, causal, scale):
         keep = qpos >= jnp.arange(tk)[None, :]
         s = jnp.where(keep, s, NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)  # (B, H, Tq, 1)
-    # fully-masked rows (none here by construction) would give m=NEG_INF
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
-    acc = jnp.einsum(
+    out = jnp.einsum(
         "bhqk,bhkd->bhqd", p.astype(v.dtype), v,
         preferred_element_type=jnp.float32,
+    ) / l
+    return out, m + jnp.log(l)
+
+
+def _chunk_attn_flash(q, k, v, *, causal, scale, interpret=False):
+    """Per-chunk attention via the Pallas kernel + logsumexp output —
+    O(block) score memory per chunk, so per-device activation memory is
+    truly O(T/n_ring). `scale` is fixed 1/sqrt(hs) inside the kernel."""
+    del scale  # kernel applies 1/sqrt(hs) itself
+    from .flash_attention import flash_attention_with_lse
+
+    out, lse = flash_attention_with_lse(
+        q, k, v, causal=causal, interpret=interpret
     )
-    return acc, m, l
+    return out.astype(jnp.float32), lse
 
 
 def _merge(carry, update):
-    """Online-softmax merge of two (acc, m, l) partials."""
-    acc0, m0, l0 = carry
-    acc1, m1, l1 = update
-    m = jnp.maximum(m0, m1)
-    c0 = jnp.exp(m0 - m)
-    c1 = jnp.exp(m1 - m)
-    return acc0 * c0 + acc1 * c1, m, l0 * c0 + l1 * c1
+    """Merge two normalized partials (out, lse): exact softmax combine."""
+    o0, l0 = carry
+    o1, l1 = update
+    l = jnp.logaddexp(l0, l1)
+    # exp(-inf - -inf) is nan; a chunk with l == NEG_INF contributes 0
+    w0 = jnp.where(l0 <= NEG_INF, 0.0, jnp.exp(l0 - l))
+    w1 = jnp.where(l1 <= NEG_INF, 0.0, jnp.exp(l1 - l))
+    return o0 * w0 + o1 * w1, l
 
 
-def _ring_body(q, k, v, *, axis_name, n_ring, scale):
+def _ring_body(q, k, v, *, axis_name, n_ring, scale, chunk_impl, interpret):
     """Per-device program: fold n_ring K/V chunks into local queries."""
     my = jax.lax.axis_index(axis_name)
     b, h, tq, hs = q.shape
-    acc = jnp.zeros((b, h, tq, hs), jnp.float32)
-    m = jnp.full((b, h, tq, 1), NEG_INF, jnp.float32)
-    l = jnp.zeros((b, h, tq, 1), jnp.float32)
+    out = jnp.zeros((b, h, tq, hs), jnp.float32)
+    lse = jnp.full((b, h, tq, 1), NEG_INF, jnp.float32)
     perm = [(i, (i + 1) % n_ring) for i in range(n_ring)]
+    if chunk_impl == "flash":
+        attn = functools.partial(_chunk_attn_flash, interpret=interpret)
+    else:
+        attn = _chunk_attn_einsum
 
     for hop in range(n_ring):
         src = (my - hop) % n_ring  # owner of the chunk currently held
@@ -101,30 +117,27 @@ def _ring_body(q, k, v, *, axis_name, n_ring, scale):
         #   src > my  -> future chunk, contributes nothing
         part = jax.lax.cond(
             src == my,
-            lambda q, k, v: _local_attn_stats(q, k, v, causal=True, scale=scale),
+            lambda q, k, v: attn(q, k, v, causal=True, scale=scale),
             lambda q, k, v: jax.lax.cond(
                 src < my,
-                lambda q, k, v: _local_attn_stats(
-                    q, k, v, causal=False, scale=scale
-                ),
+                lambda q, k, v: attn(q, k, v, causal=False, scale=scale),
                 # derived from q (not fresh constants) so the outputs carry
                 # shard_map's varying-axes type like the compute branches;
                 # XLA constant-folds the arithmetic
                 lambda q, k, v: (
                     (q * 0.0).astype(jnp.float32),
                     (q[..., :1] * 0.0).astype(jnp.float32) + NEG_INF,
-                    (q[..., :1] * 0.0).astype(jnp.float32),
                 ),
                 q, k, v,
             ),
             q, k, v,
         )
-        acc, m, l = _merge((acc, m, l), part)
+        out, lse = _merge((out, lse), part)
         if hop + 1 < n_ring:
             k = jax.lax.ppermute(k, axis_name, perm)
             v = jax.lax.ppermute(v, axis_name, perm)
 
-    return (acc / jnp.maximum(l, 1e-30)).astype(q.dtype)
+    return out.astype(q.dtype)
 
 
 def ring_attention(
@@ -136,6 +149,8 @@ def ring_attention(
     axis_name: str = "model",
     batch_axis: str | None = "data",
     causal: bool = True,
+    chunk_impl: str = "auto",
+    interpret: bool = False,
 ):
     """Causal attention over (B, H, T, hs) with T sharded on `axis_name`.
 
@@ -143,6 +158,11 @@ def ring_attention(
     is divisible by the ring size; shard_map splits them so each device
     sees its (B, H, T/n, hs) chunk. Batch is additionally sharded over
     `batch_axis` when given.
+
+    chunk_impl: "flash" runs each hop through the Pallas kernel via
+    flash_attention_with_lse — per-device memory is O(T/n_ring) with no
+    per-chunk score matrix; "einsum" is the dense reference; "auto" picks
+    flash on TPU for chunks >= 512 (mirroring attention.sdpa's policy).
     """
     assert causal, "non-causal ring attention not needed by any caller"
     n_ring = mesh.shape[axis_name]
@@ -150,11 +170,22 @@ def ring_attention(
     scale = 1.0 / (hs ** 0.5)
     if n_ring == 1:
         return xla_sdpa(q, k, v, causal=True)
+    if chunk_impl == "auto":
+        chunk = q.shape[2] // n_ring
+        try:
+            on_tpu = jax.devices()[0].platform == "tpu"
+        except Exception:  # pragma: no cover
+            on_tpu = False
+        chunk_impl = "flash" if (on_tpu and chunk >= 512) else "einsum"
     bspec = batch_axis if batch_axis in mesh.axis_names else None
     spec = P(bspec, None, axis_name, None)
     body = functools.partial(
-        _ring_body, axis_name=axis_name, n_ring=n_ring, scale=scale
+        _ring_body, axis_name=axis_name, n_ring=n_ring, scale=scale,
+        chunk_impl=chunk_impl, interpret=interpret,
     )
     return jax.shard_map(
-        body, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec
+        body, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        # pallas_call (flash chunks) can't annotate varying-manual-axes on
+        # its out_shapes; numerics are pinned by tests/test_ring_attention
+        check_vma=False,
     )(q, k, v)

@@ -48,6 +48,49 @@ def test_ring_grads_match_single_device():
         )
 
 
+def test_ring_flash_chunks_match_single_device():
+    """chunk_impl="flash" (interpret mode): each ring hop runs the Pallas
+    kernel via flash_attention_with_lse; values AND grads must match the
+    dense single-device reference — this exercises the lse-cotangent
+    backward (D_i -> D_i - dlse_i)."""
+    assert jax.device_count() >= 8
+    mesh = make_mesh(8, ("data", "model"), shape=(2, 4))
+    # chunks of 128 rows keep the kernel's 128-lane tiling exact
+    q, k, v = _qkv(b=2, h=2, t=512, hs=64, seed=4)
+    do = jax.random.normal(jax.random.PRNGKey(9), q.shape, jnp.float32)
+
+    ref = xla_sdpa(q, k, v, causal=True)
+    got = jax.jit(
+        lambda q, k, v: ring_attention(
+            q, k, v, mesh, axis_name="model", chunk_impl="flash",
+            interpret=True,
+        )
+    )(q, k, v)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+    def loss_ref(q, k, v):
+        return jnp.sum(xla_sdpa(q, k, v, causal=True) * do)
+
+    def loss_ring(q, k, v):
+        return jnp.sum(
+            ring_attention(
+                q, k, v, mesh, axis_name="model", chunk_impl="flash",
+                interpret=True,
+            )
+            * do
+        )
+
+    gr = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2)))(q, k, v)
+    gg = jax.jit(jax.grad(loss_ring, argnums=(0, 1, 2)))(q, k, v)
+    for a, b, n in zip(gg, gr, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5,
+            err_msg=f"d{n}",
+        )
+
+
 def test_gpt2_forward_with_ring_attn_impl():
     """attn_impl="ring" end to end through the decoder: loss must match the
     xla attention path (the long-context training wiring)."""
