@@ -187,8 +187,10 @@ def main_finetune():
 
     n_chips = jax.device_count()
     captions_s_chip = accum * b / dt / n_chips
-    epoch_1chip_s = COCO_TRAIN_SAMPLES / (captions_s_chip * n_chips)
-    epoch_v5e8_s = epoch_1chip_s * n_chips / 8  # DP projection, bridge-only grads
+    # per-chip rate -> a true 1-chip epoch figure (independent of how many
+    # chips this bench happened to run on); v5e-8 is the DP projection
+    epoch_1chip_s = COCO_TRAIN_SAMPLES / captions_s_chip
+    epoch_v5e8_s = epoch_1chip_s / 8
     print(
         f"[finetune-bench] step {dt * 1000:.0f} ms, "
         f"{captions_s_chip:.0f} captions/s/chip, "

@@ -42,6 +42,24 @@ def main(argv=None):
     )
     p.add_argument("--devices", type=int, default=None)
     p.add_argument(
+        "--tp", type=int, default=1,
+        help="model-axis size: builds a 2-D (data, model) mesh and applies "
+        "Megatron column/row parameter shardings (parallel/sharding.py). "
+        "1 = pure DP (the reference's only mode)",
+    )
+    p.add_argument(
+        "--seq-parallel", action="store_true",
+        help="with --tp > 1: T-shard the residual stream over the model "
+        "axis between blocks (reduce-scatter + all-gather instead of "
+        "all-reduce; Korthikanti et al.)",
+    )
+    p.add_argument(
+        "--attn-impl", choices=["auto", "xla", "flash", "ring"],
+        default="auto",
+        help="attention path; 'ring' rotates K/V over the model axis "
+        "(requires --tp > 1 and seq_len %% tp == 0)",
+    )
+    p.add_argument(
         "--opt-state-dtype", choices=["float32", "bfloat16"], default=None,
         help="AdamW m/v storage dtype; bfloat16 halves optimizer HBM "
         "(fits 774M on a 16GB chip), update math stays fp32",
@@ -80,6 +98,12 @@ def main(argv=None):
         updates["run_hellaswag"] = False
     if args.opt_state_dtype:
         updates["opt_state_dtype"] = args.opt_state_dtype
+    if args.tp != 1:
+        updates["tp"] = args.tp
+    if args.seq_parallel:
+        updates["seq_parallel"] = True
+    if args.attn_impl != "auto":
+        updates["attn_impl"] = args.attn_impl
     if args.synthetic:
         from ..data.fineweb import write_synthetic_corpus
 

@@ -161,6 +161,17 @@ class PretrainConfig:
     # "bfloat16" halves AdamW m/v HBM (what fits GPT-2 774M on a 16GB
     # v5e chip); None = fp32, the reference-parity default
     opt_state_dtype: Optional[str] = None
+    # --- model-parallel knobs (beyond the DP-only reference,
+    # train_gpt2.py:215-236): tp > 1 builds a ("data", "model") mesh with
+    # a model axis of size tp and applies Megatron column/row parameter
+    # shardings (parallel/sharding.py). seq_parallel additionally
+    # constrains the residual stream to P("data", "model", None) between
+    # blocks (requires tp > 1). attn_impl: "auto" | "xla" | "flash" |
+    # "ring" — "ring" rotates K/V chunks over the model axis (long-context
+    # sequence parallelism; requires tp > 1 and T % tp == 0).
+    tp: int = 1
+    seq_parallel: bool = False
+    attn_impl: str = "auto"
 
     def grad_accum_steps(self, world_size: int) -> int:
         denom = self.micro_batch_size * self.seq_len * world_size

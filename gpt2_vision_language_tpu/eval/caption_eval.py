@@ -26,7 +26,7 @@ from ..infer.sampling import sample_top_p
 from ..models import caption, gpt2
 from ..ops.pooling import pool_clip_tokens_to_33
 from .cider import CiderScorer
-from .meteor import meteor_score
+from .meteor import meteor_score, synonym_provenance
 
 
 def evaluate_captions(
@@ -105,5 +105,8 @@ def evaluate_captions(
     out["cider"], _ = CiderScorer().compute_score(gts, res)
     if compute_meteor:
         out["meteor"], _ = meteor_score(gts, res)
+        # scores are only cross-machine comparable at matching synonym
+        # provenance (file:<path> / nltk-wordnet / builtin)
+        out["meteor_synonyms"] = synonym_provenance()
     out["captions"] = {i: res[i][0] for i in res}
     return out

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Set, Tuple
 
-from .synonyms import load_synonym_table, synonym_match
+from .synonyms import resolve_synonym_table, synonym_match
 
 try:  # nltk's PorterStemmer is pure python, no corpus download needed
     from nltk.stem.porter import PorterStemmer
@@ -42,14 +42,30 @@ except Exception:  # pragma: no cover
         return w
 
 
-_SYN_TABLE: Optional[Dict[str, Set[int]]] = None
+import os
+
+# Cache keyed on the resolution input ($METEOR_SYNONYMS value), so changing
+# the env var after first use takes effect instead of silently reusing the
+# first table resolved (ADVICE r2 #4). Value: (table, provenance).
+_SYN_CACHE: Dict[Optional[str], Tuple[Dict[str, Set[int]], str]] = {}
+
+
+def _syn_resolved() -> Tuple[Dict[str, Set[int]], str]:
+    key = os.environ.get("METEOR_SYNONYMS")
+    if key not in _SYN_CACHE:
+        _SYN_CACHE[key] = resolve_synonym_table()
+    return _SYN_CACHE[key]
 
 
 def _syn_table() -> Dict[str, Set[int]]:
-    global _SYN_TABLE
-    if _SYN_TABLE is None:
-        _SYN_TABLE = load_synonym_table()
-    return _SYN_TABLE
+    return _syn_resolved()[0]
+
+
+def synonym_provenance() -> str:
+    """Which synonym table this process's METEOR scores used:
+    ``file:<path>`` / ``nltk-wordnet`` / ``builtin``. Scores are only
+    cross-machine comparable at matching provenance."""
+    return _syn_resolved()[1]
 
 
 def _tokenize(s: str) -> List[str]:

@@ -161,8 +161,15 @@ def wordnet_groups() -> List[List[str]]:
     return groups
 
 
-def load_synonym_table(path: str | None = None) -> Dict[str, Set[int]]:
-    """Resolve the synonym table per the module docstring priority."""
+def resolve_synonym_table(
+    path: str | None = None,
+) -> tuple[Dict[str, Set[int]], str]:
+    """Resolve the synonym table per the module docstring priority.
+
+    Returns (table, provenance) where provenance is one of
+    ``file:<path>`` / ``nltk-wordnet`` / ``builtin`` — METEOR scores are
+    only comparable across machines when the provenance matches, so
+    callers surface it next to the scores (eval/caption_eval.py logs it)."""
     path = path or os.environ.get("METEOR_SYNONYMS")
     if path:
         # an explicitly configured table must not silently degrade to the
@@ -172,11 +179,18 @@ def load_synonym_table(path: str | None = None) -> Dict[str, Set[int]]:
                 f"METEOR_SYNONYMS table not found: {path!r}"
             )
         with open(path, encoding="utf-8") as f:
-            return parse_groups(f)
+            return parse_groups(f), f"file:{path}"
     try:
-        return parse_groups(" ".join(g) for g in wordnet_groups())
+        return (
+            parse_groups(" ".join(g) for g in wordnet_groups()),
+            "nltk-wordnet",
+        )
     except Exception:
-        return _builtin_table()
+        return _builtin_table(), "builtin"
+
+
+def load_synonym_table(path: str | None = None) -> Dict[str, Set[int]]:
+    return resolve_synonym_table(path)[0]
 
 
 def synonym_match(w1: str, w2: str, table: Dict[str, Set[int]]) -> bool:

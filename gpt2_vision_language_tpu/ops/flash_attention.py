@@ -14,8 +14,10 @@ Layout: inputs (B, H, T, hs) are collapsed to (BH, T, hs). Generality
     `kpos < tk`, so padded keys never contribute and padded query rows are
     sliced off (their cotangents arrive as structural zeros in the VJP).
   * Cross-attention / decode shapes: Tq != Tk supported. Causal masking is
-    right-aligned (query i sits at absolute position i + Tk - Tq), matching
-    `attention.xla_sdpa` and torch SDPA decode semantics.
+    right-aligned (query i sits at absolute position i + Tk - Tq), the
+    flash-attn-style decode alignment this repo's `attention.xla_sdpa`
+    defines and tests. (NOT torch SDPA's convention: torch `is_causal`
+    builds a top-left-aligned tril(L, S) mask when Tq != Tk.)
   * K/V streaming: by default K/V for one (b, h) ride the Pallas pipeline
     into VMEM whole (fast at the T <= ~4k this framework trains at; grid
     (BH, num_q_blocks)). For long sequences (`stream_kv`, auto-enabled past
@@ -735,7 +737,14 @@ def flash_attention(
     if stream_kv is None:
         tk_pad = _round_up(tk, _pick_block(tk, block_k))
         kv_bytes = 2 * tk_pad * k.shape[-1] * k.dtype.itemsize
-        stream_kv = kv_bytes > STREAM_KV_BYTES
+        # The q side counts too: with stream_kv=False the single-pass fused
+        # backward pins whole (tq_pad, hs) q/do/dq buffers per (b, h) in
+        # VMEM, so a long-Tq/short-Tk call (e.g. cross-attention over a
+        # short visual prefix) must also fall back to the split streamed
+        # kernels or it can exceed VMEM on device. dq accumulates fp32.
+        tq_pad = _round_up(tq, _pick_block(tq, block_q))
+        q_bytes = tq_pad * q.shape[-1] * (2 * q.dtype.itemsize + 4)
+        stream_kv = max(kv_bytes, q_bytes) > STREAM_KV_BYTES
     interpret = interpret or FORCE_INTERPRET
     bq_bwd = block_q_bwd or DEFAULT_BLOCK_Q_BWD
     bk_bwd = block_k_bwd or DEFAULT_BLOCK_K_BWD

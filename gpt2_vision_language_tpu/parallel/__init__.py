@@ -5,7 +5,12 @@ from .sharding import (
     seq_parallel_sharding,
     shard_params,
 )
-from .pipeline import pipeline_run_blocks, stage_param_specs
+from .pipeline import (
+    make_pipeline_loss_fn,
+    pipeline_param_pspecs,
+    pipeline_run_blocks,
+    stage_param_specs,
+)
 
 __all__ = [
     "make_mesh",
@@ -17,6 +22,8 @@ __all__ = [
     "replicated_specs",
     "seq_parallel_sharding",
     "shard_params",
+    "make_pipeline_loss_fn",
+    "pipeline_param_pspecs",
     "pipeline_run_blocks",
     "stage_param_specs",
 ]

@@ -15,9 +15,18 @@ stage→stage over ICI; no host coordination. Differentiable end-to-end
 pipelined loss works — pinned against the single-device decoder in
 tests/test_pipeline.py on a CPU mesh.
 
-Scope: validated scaling extension. The production train step keeps the
-DP(+TP/SP) GSPMD path; wire this into a workload when a model no longer
-fits a TP group (e.g. 1.5B+ across hosts).
+A FULL pipelined train step exists too: `make_pipeline_loss_fn` builds the
+embed -> pipelined blocks -> ln_f -> fused-CE loss (embeddings and the
+tied lm_head are replicated across stages — they are 39% of 124M params
+but their compute is tiny next to the blocks, and replication keeps the
+fused chunked CE intact), and `pipeline_param_pspecs` gives the matching
+placement (blocks layer-sharded on the pipe axis, the rest replicated) so
+`train.step.make_train_step` runs grad-accum + AdamW over stage-sharded
+parameters with grads flowing backward through the GPipe schedule
+(ppermute hops transpose to reverse hops). Numerics-pinned against the
+single-device step at pp and pp x dp in tests/test_pipeline.py; the same
+step is the exact parallelization of the reference's hot loop
+(train_gpt2.py:456-476).
 """
 
 from __future__ import annotations
@@ -36,6 +45,57 @@ def stage_param_specs(block_params, axis_name: str = "pipe"):
     return jax.tree.map(
         lambda p: P(axis_name, *([None] * (p.ndim - 1))), block_params
     )
+
+
+def pipeline_param_pspecs(params, axis_name: str = "pipe"):
+    """PartitionSpecs for the FULL decoder param tree under pipeline
+    parallelism: block stacks layer-sharded on `axis_name`, embeddings /
+    final LN replicated. Feed to `jax.device_put` / `NamedSharding` so the
+    optimizer state and grad accumulators inherit the same placement."""
+    specs = {k: jax.tree.map(lambda _: P(), v) for k, v in params.items()}
+    specs["blocks"] = stage_param_specs(params["blocks"], axis_name)
+    return specs
+
+
+def make_pipeline_loss_fn(
+    cfg,
+    mesh: Mesh,
+    *,
+    axis_name: str = "pipe",
+    n_micro: int = 2,
+    policy: Policy = DEFAULT_POLICY,
+    attn_impl: str = "xla",
+    ce_chunks: int = 1,
+):
+    """Loss for a PIPELINED train step, shaped for train.step.make_train_step:
+    ``loss_fn(params, {"x": ids, "y": targets})`` — token embedding and the
+    fused chunked lm_head+CE run replicated; the decoder blocks run through
+    the GPipe schedule with layers stage-sharded on `axis_name`.
+
+    This is the missing piece between "pipeline forward helper" and
+    "pipeline training": jax.grad of this loss back-propagates through the
+    ppermute hops (their transpose is the reverse-ring hop), so the whole
+    grad-accum scan + AdamW update of make_train_step applies unchanged to
+    stage-sharded parameters. Parallelizes the reference's training step
+    (train_gpt2.py:456-476) across a "pipe" mesh axis the reference never
+    had.
+    """
+    from ..models.gpt2 import embed_tokens, fused_ce_loss
+    from ..ops.layers import layer_norm
+
+    def loss_fn(params, micro):
+        x = embed_tokens(params, micro["x"], cfg).astype(policy.compute_dtype)
+        h = pipeline_run_blocks(
+            params["blocks"], x, cfg, mesh,
+            axis_name=axis_name, n_micro=n_micro, policy=policy,
+            attn_impl=attn_impl,
+        )
+        h = layer_norm(h, params["lnf"]["scale"], params["lnf"]["bias"])
+        return fused_ce_loss(
+            h, params["wte"], micro["y"], policy=policy, ce_chunks=ce_chunks
+        )
+
+    return loss_fn
 
 
 def pipeline_run_blocks(
@@ -118,10 +178,15 @@ def pipeline_run_blocks(
         return jax.lax.psum(acc, axis_name)
 
     pspecs = stage_param_specs(block_params, axis_name)
+    # Manual only over the pipe axis: any other mesh axes (e.g. "data" when
+    # composing pp x dp) stay in GSPMD auto mode, so a batch-sharded x keeps
+    # its data-parallel placement through the pipeline instead of being
+    # all-gathered at the shard_map boundary.
     out = jax.shard_map(
         stage_fn,
         mesh=mesh,
         in_specs=(pspecs, P()),
         out_specs=P(),
+        axis_names={axis_name},
     )(block_params, xm)
     return out.reshape(b, *x.shape[1:])

@@ -225,6 +225,7 @@ def run_finetune(
     eval_step = make_eval_step(loss_fn)
 
     log = MetricsLogger(cfg.log_dir, is_master=master)
+    log.meta("tokenizer", tokenizer.name)
     manager = CheckpointManager(
         os.path.join(log.log_dir, "ckpts"),
         save_every=cfg.save_every,

@@ -63,6 +63,99 @@ def test_pipeline_grads_match():
         )
 
 
+def _pp_train_setup(mesh, axis_name="pipe", n_micro=2):
+    from jax.sharding import NamedSharding
+    from gpt2_vision_language_tpu.core.config import (
+        OptimizerConfig,
+        ScheduleConfig,
+    )
+    from gpt2_vision_language_tpu.parallel.pipeline import (
+        make_pipeline_loss_fn,
+        pipeline_param_pspecs,
+    )
+    from gpt2_vision_language_tpu.train import make_train_step
+    from gpt2_vision_language_tpu.train.optimizer import adamw_init
+
+    params = gpt2.init(jax.random.PRNGKey(7), CFG)
+    sched = ScheduleConfig(max_lr=1e-3, min_lr=1e-4, warmup_steps=2, max_steps=10)
+
+    def ref_loss(p, micro):
+        return gpt2.loss(
+            p, micro["x"], CFG, targets=micro["y"], policy=FP32_POLICY,
+            ce_chunks=1,
+        )
+
+    pp_loss = make_pipeline_loss_fn(
+        CFG, mesh, axis_name=axis_name, n_micro=n_micro, policy=FP32_POLICY
+    )
+    mk = lambda lf: make_train_step(
+        lf, OptimizerConfig(), sched, decay_mask=gpt2.decay_mask(params),
+        donate=False,
+    )
+    pspecs = pipeline_param_pspecs(params, axis_name)
+    place = jax.tree.map(
+        lambda p, s: jax.device_put(p, NamedSharding(mesh, s)), params, pspecs
+    )
+    rng = np.random.RandomState(11)
+    x = rng.randint(0, CFG.vocab_size, size=(2, 4, CFG.block_size))
+    batch = {"x": jnp.asarray(x), "y": jnp.asarray(np.roll(x, -1, axis=-1))}
+    return params, place, batch, mk(ref_loss), mk(pp_loss)
+
+
+def test_pipeline_train_step_parity():
+    """THE pipelined train step: 3 steps of grad-accum + AdamW with layers
+    stage-sharded over a 4-way pipe axis must reproduce the single-device
+    step's parameter trajectory (the reference's hot loop,
+    train_gpt2.py:456-476, parallelized over stages)."""
+    assert jax.device_count() >= 4
+    mesh = make_mesh(4, ("pipe",))
+    params, place, batch, ref_step, pp_step = _pp_train_setup(mesh)
+    from gpt2_vision_language_tpu.train.optimizer import adamw_init
+
+    s_ref, s_pp = adamw_init(params), adamw_init(place)
+    p_ref, p_pp = params, place
+    for i in range(3):
+        p_ref, s_ref, m_ref = ref_step(p_ref, s_ref, batch, jnp.int32(i))
+        p_pp, s_pp, m_pp = pp_step(p_pp, s_pp, batch, jnp.int32(i))
+        np.testing.assert_allclose(
+            float(m_pp["loss"]), float(m_ref["loss"]), rtol=2e-5
+        )
+        np.testing.assert_allclose(
+            float(m_pp["grad_norm"]), float(m_ref["grad_norm"]), rtol=1e-3
+        )
+    for a, b in zip(jax.tree.leaves(p_pp), jax.tree.leaves(p_ref)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
+        )
+
+
+def test_pipeline_train_step_pp_x_dp():
+    """pp x dp: same trajectory on a ('data', 'pipe') = (2, 2) mesh with the
+    batch sharded on data and the layers on pipe."""
+    assert jax.device_count() >= 4
+    mesh = make_mesh(4, ("data", "pipe"), shape=(2, 2))
+    params, place, batch, ref_step, pp_step = _pp_train_setup(mesh, n_micro=2)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from gpt2_vision_language_tpu.train.optimizer import adamw_init
+
+    batch = jax.tree.map(
+        lambda a: jax.device_put(
+            a, NamedSharding(mesh, P(None, "data"))
+        ),
+        batch,
+    )
+    s_ref, s_pp = adamw_init(params), adamw_init(place)
+    p_ref, s_ref, m_ref = ref_step(params, s_ref, batch, jnp.int32(0))
+    p_pp, s_pp, m_pp = pp_step(place, s_pp, batch, jnp.int32(0))
+    np.testing.assert_allclose(
+        float(m_pp["loss"]), float(m_ref["loss"]), rtol=2e-5
+    )
+    for a, b in zip(jax.tree.leaves(p_pp), jax.tree.leaves(p_ref)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
+        )
+
+
 def test_pipeline_microbatch_counts():
     """More microbatches (smaller bubbles) must not change the result."""
     assert jax.device_count() >= 4

