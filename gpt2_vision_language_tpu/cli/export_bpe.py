@@ -16,11 +16,42 @@ import argparse
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--out", default="gpt2_bpe", help="output directory")
+    p.add_argument(
+        "--from-hf", default=None, metavar="PATH",
+        help="build from OFFLINE HuggingFace assets instead of tiktoken: a "
+        "tokenizer.json, a vocab.json, or a directory holding "
+        "vocab.json+merges.txt",
+    )
+    p.add_argument(
+        "--scan", action="store_true",
+        help="search common cache locations for HF GPT-2 tokenizer data "
+        "and export from the first hit",
+    )
     args = p.parse_args(argv)
 
-    from ..data.bpe_export import export_bpe
+    from ..data.bpe_export import (
+        export_bpe,
+        export_bpe_from_hf,
+        find_hf_gpt2_assets,
+    )
 
-    export_bpe(args.out)
+    if args.scan:
+        src = find_hf_gpt2_assets()
+        if src is None:
+            print(
+                "scan: no offline GPT-2 tokenizer data found (no HF cache, "
+                "no vocab.json/merges.txt, no tokenizer.json) — the "
+                "real-vocab gap is environmental; run this on an online "
+                "machine instead"
+            )
+            return 1
+        kind = export_bpe_from_hf(src, args.out)
+        print(f"scan hit: {src} ({kind})")
+    elif args.from_hf:
+        kind = export_bpe_from_hf(args.from_hf, args.out)
+        print(f"converted {args.from_hf} ({kind})")
+    else:
+        export_bpe(args.out)
     print(f"wrote {args.out}/encoder.json and {args.out}/vocab.bpe")
     print(f"set GPT2_BPE_DIR={args.out} to use them")
 

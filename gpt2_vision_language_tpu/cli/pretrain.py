@@ -65,6 +65,18 @@ def main(argv=None):
         "(fits 774M on a 16GB chip), update math stays fp32",
     )
     p.add_argument(
+        "--param-dtype", choices=["float32", "bfloat16"], default=None,
+        help="master parameter dtype; bfloat16 = the torch reference's "
+        "whole-model CUDA cast (train_gpt2.py:264). With "
+        "--opt-state-dtype bfloat16 and --grad-accum-dtype bfloat16 this "
+        "fits GPT-2 1558M on one 16GB chip",
+    )
+    p.add_argument(
+        "--grad-accum-dtype", choices=["float32", "bfloat16"], default=None,
+        help="grad accumulator dtype; bfloat16 halves accumulator HBM via "
+        "unbiased stochastic rounding (the 1558M-on-one-chip enabler)",
+    )
+    p.add_argument(
         "--remat",
         choices=["none", "full", "save_attn", "recompute_gelu", "recompute_mlp"],
         default="none",
@@ -98,6 +110,10 @@ def main(argv=None):
         updates["run_hellaswag"] = False
     if args.opt_state_dtype:
         updates["opt_state_dtype"] = args.opt_state_dtype
+    if args.grad_accum_dtype:
+        updates["grad_accum_dtype"] = args.grad_accum_dtype
+    if args.param_dtype:
+        updates["param_dtype"] = args.param_dtype
     if args.tp != 1:
         updates["tp"] = args.tp
     if args.seq_parallel:

@@ -161,6 +161,16 @@ class PretrainConfig:
     # "bfloat16" halves AdamW m/v HBM (what fits GPT-2 774M on a 16GB
     # v5e chip); None = fp32, the reference-parity default
     opt_state_dtype: Optional[str] = None
+    # "bfloat16" halves the grad-accumulator HBM via unbiased stochastic
+    # rounding (train/step.py) — the enabler for GPT-2 1558M on one 16GB
+    # chip; None = exact fp32 accumulation (reference parity)
+    grad_accum_dtype: Optional[str] = None
+    # "bfloat16" stores the MASTER PARAMS in bf16 — exactly the torch
+    # reference's production mode on CUDA (model.to(bfloat16) + AdamW on
+    # the bf16 params, train_gpt2.py:263-264). Our default keeps fp32
+    # masters (less drift); whole-model bf16 is what fits GPT-2 1558M's
+    # params+moments+accumulators in one 16GB chip (12.5 GB vs 15.6).
+    param_dtype: Optional[str] = None
     # --- model-parallel knobs (beyond the DP-only reference,
     # train_gpt2.py:215-236): tp > 1 builds a ("data", "model") mesh with
     # a model axis of size tp and applies Megatron column/row parameter

@@ -58,10 +58,15 @@ def adamw_init(params, state_dtype=None, trainable_mask=None):
 
 
 def global_norm(grads, mask=None):
+    # upcast per element INSIDE the reduction (XLA fuses cast+square+sum, no
+    # fp32 materialization): grads may arrive as bf16 accumulators
+    # (make_train_step grad_accum_dtype) and a bf16 sum-of-squares over
+    # millions of elements would overflow/lose the norm
+    sq = lambda g: jnp.sum(jnp.square(g.astype(jnp.float32)))
     leaves = jax.tree.leaves(
-        _tmap(lambda g, m: jnp.sum(jnp.square(g)) * m, grads, mask)
+        _tmap(lambda g, m: sq(g) * m, grads, mask)
         if mask is not None
-        else _tmap(lambda g: jnp.sum(jnp.square(g)), grads)
+        else _tmap(sq, grads)
     )
     return jnp.sqrt(sum(leaves))
 
@@ -111,8 +116,11 @@ def adamw_update(
             and state_dtype == p.dtype
         ):
             return fused_adamw_leaf(p, g, m, v, scalars_nowd, wd=wd)
-        # moments may be stored compact (adamw_init state_dtype); the
-        # arithmetic is always fp32, with one rounding per step at store
+        # moments (and params, in the whole-model-bf16 mode that mirrors
+        # the reference's CUDA cast, train_gpt2.py:264) may be stored
+        # compact; the arithmetic is always fp32, with one rounding per
+        # step at store — the same semantics as torch bf16 AdamW
+        param_dtype = p.dtype
         m = m.astype(jnp.float32)
         v = v.astype(jnp.float32)
         g = g * clip_scale
@@ -120,10 +128,15 @@ def adamw_update(
         v_new = cfg.beta2 * v + (1.0 - cfg.beta2) * g * g
         mhat = m_new / bc1
         vhat = v_new / bc2
+        p = p.astype(jnp.float32)
         if wd:
             p = p * (1.0 - lr * wd)
         p = p - lr * mhat / (jnp.sqrt(vhat) + cfg.eps)
-        return p, m_new.astype(state_dtype), v_new.astype(state_dtype)
+        return (
+            p.astype(param_dtype),
+            m_new.astype(state_dtype),
+            v_new.astype(state_dtype),
+        )
 
     flat_p, treedef = jax.tree.flatten(params)
     flat_g = treedef.flatten_up_to(grads)

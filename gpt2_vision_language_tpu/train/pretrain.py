@@ -114,6 +114,11 @@ def run_pretrain(
         )
 
     params = gpt2.init(jax.random.PRNGKey(cfg.seed), model_cfg)
+    if cfg.param_dtype:
+        # whole-model cast, the reference's CUDA production mode
+        # (train_gpt2.py:264); AdamW math stays fp32 (optimizer.py)
+        pd = jnp.dtype(cfg.param_dtype)
+        params = jax.tree.map(lambda p: p.astype(pd), params)
     if cfg.tp > 1:
         # Megatron column/row parameter shardings over the model axis;
         # optimizer states inherit the placement through zeros_like
@@ -141,6 +146,7 @@ def run_pretrain(
         cfg.optimizer,
         cfg.schedule,
         decay_mask=gpt2.decay_mask(params),
+        grad_accum_dtype=cfg.grad_accum_dtype,
     )
     eval_step = make_eval_step(loss_fn)
 
@@ -163,6 +169,12 @@ def run_pretrain(
         params = jax.tree.map(jnp.asarray, tree["params"])
         opt_state = jax.tree.map(jnp.asarray, tree["opt_state"])
         opt_state["step"] = jnp.asarray(opt_state["step"]).reshape(())
+        if cfg.param_dtype:
+            # a resumed ckpt may predate the cast (e.g. an fp32 run
+            # resumed under --param-dtype bfloat16); enforce the
+            # configured master dtype either way
+            pd = jnp.dtype(cfg.param_dtype)
+            params = jax.tree.map(lambda p: p.astype(pd), params)
         if cfg.tp > 1:
             # checkpoints store host-gathered (unsharded) trees; restore
             # the Megatron placements

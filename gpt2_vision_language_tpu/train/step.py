@@ -31,6 +31,23 @@ from .optimizer import adamw_update, freeze
 from .schedule import cosine_warmup_lr
 
 
+def stochastic_round_bf16(x32, key):
+    """fp32 -> bf16 with unbiased stochastic rounding.
+
+    Truncating fp32 to bf16 drops 16 mantissa bits; over a 64-micro-step
+    gradient accumulation the systematic round-to-nearest bias compounds.
+    Adding 16 uniform random bits below the kept mantissa and truncating
+    makes E[round(x)] = x exactly (magnitude-symmetric for negatives since
+    IEEE is sign-magnitude; inf/NaN payloads are preserved by the mask).
+    This is the trick that lets GPT-2 1558M's grad accumulators live in
+    bf16 (3.1 GB instead of 6.2) without trajectory drift — see
+    tests/test_bf16_drift.py::test_bf16_grad_accum_trajectory."""
+    bits = jax.lax.bitcast_convert_type(x32.astype(jnp.float32), jnp.uint32)
+    rnd = jax.random.bits(key, x32.shape, jnp.uint32) & jnp.uint32(0xFFFF)
+    out = (bits + rnd) & jnp.uint32(0xFFFF0000)
+    return jax.lax.bitcast_convert_type(out, jnp.float32).astype(jnp.bfloat16)
+
+
 def make_train_step(
     loss_fn: Callable,
     opt_cfg: OptimizerConfig,
@@ -41,6 +58,7 @@ def make_train_step(
     use_fused_adamw: bool = False,
     donate: bool = True,
     mesh=None,
+    grad_accum_dtype=None,
 ):
     """Build `step(params, opt_state, batch, step_idx) -> (params, opt_state,
     metrics)`.
@@ -51,7 +69,15 @@ def make_train_step(
     device-resident feature bank indexed by ids in the batch). metrics
     carries {loss, lr, grad_norm} matching the reference's per-step log line
     (train_gpt2.py:485).
+
+    grad_accum_dtype: None/float32 = exact fp32 accumulators (reference
+    parity, train_gpt2.py:465-469 semantics). "bfloat16" halves the
+    accumulator HBM (the enabler for GPT-2 1558M on a 16 GB chip) using
+    unbiased stochastic rounding at each accumulate; drift pinned in
+    tests/test_bf16_drift.py.
     """
+    accum_dt = jnp.dtype(grad_accum_dtype) if grad_accum_dtype else jnp.float32
+    use_sr = accum_dt == jnp.bfloat16
 
     def step(params, opt_state, batch, step_idx, extra=None):
         lr = cosine_warmup_lr(step_idx, sched_cfg)
@@ -78,28 +104,64 @@ def make_train_step(
             else jax.tree.map(lambda _: True, params)
         )
 
-        def body(carry, micro):
+        def body(carry, xs):
+            micro, midx = xs
             gsum, lsum = carry
             loss, grads = grad_fn(params, micro)
-            gsum = jax.tree.map(
-                lambda a, g, tr: a + g.astype(jnp.float32) if tr else a,
-                gsum,
-                grads,
-                tmask,
-            )
+            if not use_sr:
+                gsum = jax.tree.map(
+                    lambda a, g, tr: a + g.astype(jnp.float32) if tr else a,
+                    gsum,
+                    grads,
+                    tmask,
+                )
+            else:
+                # bf16 accumulators: add in fp32, stochastic-round the sum
+                # back to bf16. Keys: one per (step, micro, leaf) so no two
+                # roundings ever share randomness.
+                base = jax.random.fold_in(
+                    jax.random.fold_in(jax.random.PRNGKey(0x5EED), step_idx),
+                    midx,
+                )
+                flat_a, tdef = jax.tree_util.tree_flatten(gsum)
+                flat_g = jax.tree_util.tree_leaves(grads)
+                flat_t = jax.tree_util.tree_leaves(tmask)
+                flat_a = [
+                    stochastic_round_bf16(
+                        a.astype(jnp.float32) + g.astype(jnp.float32),
+                        jax.random.fold_in(base, i),
+                    )
+                    if tr
+                    else a
+                    for i, (a, g, tr) in enumerate(
+                        zip(flat_a, flat_g, flat_t)
+                    )
+                ]
+                gsum = jax.tree_util.tree_unflatten(tdef, flat_a)
             return (gsum, lsum + loss), None
 
         accum = jax.tree.leaves(batch)[0].shape[0]
         # frozen leaves carry scalar placeholders, not (shape) fp32 buffers:
         # the frozen 124M decoder in finetunes costs 0 grad-accumulator HBM
         gzero = jax.tree.map(
-            lambda p, tr: jnp.zeros(p.shape if tr else (), jnp.float32),
+            lambda p, tr: jnp.zeros(p.shape if tr else (), accum_dt),
             params,
             tmask,
         )
-        (gsum, lsum), _ = jax.lax.scan(body, (gzero, jnp.float32(0.0)), batch)
+        (gsum, lsum), _ = jax.lax.scan(
+            body,
+            (gzero, jnp.float32(0.0)),
+            (batch, jnp.arange(accum, dtype=jnp.int32)),
+        )
         scale = 1.0 / accum
-        grads = jax.tree.map(lambda g: g * scale, gsum)
+        # scale in the ACCUMULATOR dtype: upcasting the whole tree to fp32
+        # here would materialize a second full-size grads tree (6.2 GB at
+        # 1558M) and defeat the bf16 accumulators; adamw_update upcasts
+        # per-leaf inside the fused update instead. For bf16 the 1/accum
+        # multiply is exact whenever accum is a power of two.
+        grads = jax.tree.map(
+            lambda g: g * jnp.asarray(scale, g.dtype), gsum
+        )
         loss = lsum * scale
 
         new_params, new_opt, norm = adamw_update(

@@ -154,3 +154,85 @@ def test_bf16_policy_tracks_torch_bf16_reference():
         f"drift {drift.max():.4f} vs drop {drop:.3f}\n"
         f"torch tail {tlosses[-3:]}, jax tail {jlosses[-3:]}"
     )
+
+
+def test_stochastic_round_bf16_unbiased():
+    """E[stochastic_round_bf16(x)] must equal x (the property that keeps
+    bf16 grad accumulation drift-free over 64 micro-steps), and values
+    already representable in bf16 must round exactly."""
+    from gpt2_vision_language_tpu.train.step import stochastic_round_bf16
+
+    # exactness on representable values (incl. negatives and zero)
+    exact = jnp.asarray([0.0, 1.0, -1.0, 0.5, -3.140625], jnp.float32)
+    got = stochastic_round_bf16(exact, jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(
+        np.asarray(got, np.float32), np.asarray(exact)
+    )
+
+    # unbiasedness: mean over many independent roundings converges to x
+    x = jnp.asarray([1.00390625, -2.0078125, 3.3e-5, -7.77], jnp.float32)
+    n = 4096
+    keys = jax.random.split(jax.random.PRNGKey(42), n)
+    rounds = jax.vmap(lambda k: stochastic_round_bf16(x, k))(keys)
+    mean = np.asarray(rounds.astype(jnp.float32)).mean(axis=0)
+    # bf16 spacing near |x| is ~2^-8 * 2^ceil(log2 x); the SE of the mean
+    # over 4096 draws is spacing/sqrt(n) ~ spacing/64
+    spacing = np.asarray(
+        [np.spacing(np.abs(v).astype(np.float32)) * 2**13 for v in np.asarray(x)]
+    )
+    err = np.abs(mean - np.asarray(x))
+    assert np.all(err < spacing / 8), (err, spacing)
+
+    # and it must NOT be deterministic truncation: both neighbors occur
+    vals = np.unique(np.asarray(rounds[:, 0], np.float32))
+    assert len(vals) == 2, vals
+
+
+def test_bf16_grad_accum_trajectory():
+    """50 steps with bf16 stochastic-rounded grad accumulators (accum=4)
+    track the exact-fp32-accumulator trajectory: the 1558M memory enabler
+    must not change what the optimizer learns."""
+    batches = [
+        {
+            "x": (x := np.random.RandomState(100 + i % 4).randint(
+                0, SMALL.vocab_size, size=(4, 4, 16)
+            )),
+            "y": np.roll(x, -1, axis=-1),
+        }
+        for i in range(STEPS)
+    ]
+
+    def run(accum_dtype):
+        params = gpt2.init(jax.random.PRNGKey(3), SMALL)
+
+        def loss_fn(p, micro):
+            _, l = gpt2.apply(
+                p, micro["x"], SMALL, targets=micro["y"], policy=FP32_POLICY
+            )
+            return l
+
+        state = adamw_init(params)
+        step = make_train_step(
+            loss_fn,
+            OptimizerConfig(),
+            SCHED,
+            decay_mask=gpt2.decay_mask(params),
+            donate=False,
+            grad_accum_dtype=accum_dtype,
+        )
+        losses = []
+        for i, b in enumerate(batches):
+            jb = {k: jnp.asarray(v) for k, v in b.items()}
+            params, state, m = step(params, state, jb, jnp.int32(i))
+            losses.append(float(m["loss"]))
+        return np.asarray(losses)
+
+    l32 = run(None)
+    l16 = run("bfloat16")
+    assert l32[-1] < l32[0] - 0.3, "fp32-accum run did not learn"
+    drift = np.abs(l16 - l32)
+    drop = l32[0] - l32[-1]
+    assert drift.max() < 0.05 * drop + 0.02, (
+        f"bf16-accum drift {drift.max():.4f} vs drop {drop:.3f}\n"
+        f"fp32 tail {l32[-3:]}, bf16 tail {l16[-3:]}"
+    )

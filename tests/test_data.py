@@ -108,6 +108,70 @@ def test_bpe_export_local_equivalence(tmp_path):
     assert local.eot_token == enc._special_tokens["<|endoftext|>"]
 
 
+def test_bpe_export_from_hf_sources(tmp_path):
+    """export_bpe_from_hf must reproduce the tiktoken-derived export from
+    both HF formats (tokenizer.json and vocab.json+merges.txt), yielding a
+    LocalBpeTokenizer that encodes identically."""
+    import json as _json
+
+    from gpt2_vision_language_tpu.data.bpe_export import (
+        export_bpe,
+        export_bpe_from_hf,
+    )
+
+    enc = _synthetic_tiktoken()
+    ref_dir = tmp_path / "ref"
+    export_bpe(str(ref_dir), encoding=enc)
+    ref = LocalBpeTokenizer(
+        str(ref_dir / "encoder.json"), str(ref_dir / "vocab.bpe")
+    )
+    vocab = _json.loads((ref_dir / "encoder.json").read_text())
+    merges = [
+        ln
+        for ln in (ref_dir / "vocab.bpe").read_text().splitlines()
+        if ln and not ln.startswith("#")
+    ]
+
+    # HF fast-tokenizer format
+    tj = tmp_path / "hf1" / "tokenizer.json"
+    tj.parent.mkdir()
+    eot = vocab["<|endoftext|>"]
+    tj.write_text(
+        _json.dumps(
+            {
+                "model": {
+                    "type": "BPE",
+                    "vocab": {
+                        k: v for k, v in vocab.items() if k != "<|endoftext|>"
+                    },
+                    "merges": merges,
+                },
+                "added_tokens": [{"content": "<|endoftext|>", "id": eot}],
+            }
+        )
+    )
+    out1 = tmp_path / "out1"
+    assert export_bpe_from_hf(str(tj), str(out1)) == "hf-tokenizer-json"
+
+    # classic vocab.json + merges.txt directory
+    hf2 = tmp_path / "hf2"
+    hf2.mkdir()
+    (hf2 / "vocab.json").write_text(_json.dumps(vocab))
+    (hf2 / "merges.txt").write_text(
+        "#version: 0.2\n" + "\n".join(merges) + "\n"
+    )
+    out2 = tmp_path / "out2"
+    assert export_bpe_from_hf(str(hf2), str(out2)) == "hf-vocab-merges"
+
+    for out in (out1, out2):
+        local = LocalBpeTokenizer(
+            str(out / "encoder.json"), str(out / "vocab.bpe")
+        )
+        for s in ("hello", "hello world", "hell or hello"):
+            assert local.encode(s) == ref.encode(s), (out, s)
+        assert local.eot_token == ref.eot_token
+
+
 def test_bpe_export_real_gpt2_equivalence(tmp_path):
     """Full-vocab equivalence vs tiktoken's real GPT-2 (needs network or a
     warm tiktoken cache; skipped air-gapped)."""

@@ -157,6 +157,28 @@ def test_pretrain_ring_attention_workload(tiny_cfg, tmp_path):
     )
 
 
+def test_pretrain_whole_model_bf16(tiny_cfg):
+    """The 1558M-on-one-chip memory recipe (param/opt-state/grad-accum all
+    bf16 — the torch reference's own production cast, train_gpt2.py:264)
+    must train end-to-end: finite falling loss, params still bf16, ckpt
+    round-trip intact."""
+    import dataclasses as dc
+    import jax.numpy as jnp
+    from gpt2_vision_language_tpu.train.pretrain import run_pretrain
+
+    cfg = dataclasses.replace(
+        tiny_cfg,
+        param_dtype="bfloat16",
+        opt_state_dtype="bfloat16",
+        grad_accum_dtype="bfloat16",
+        schedule=dataclasses.replace(tiny_cfg.schedule, max_steps=6),
+    )
+    out = run_pretrain(cfg, num_devices=1)
+    assert np.isfinite(out["val_loss"])
+    assert out["params"]["wte"].dtype == jnp.bfloat16
+    assert out["opt_state"]["m"]["wte"].dtype == jnp.bfloat16
+
+
 def test_pretrain_resume(tiny_cfg):
     """Kill after 6 steps, resume must continue from step 7 with state."""
     from gpt2_vision_language_tpu.train.pretrain import run_pretrain

@@ -49,10 +49,12 @@ def variants(B, H, T, hs):
     out = {}
 
     from gpt2_vision_language_tpu.ops.flash_attention import flash_attention
-
-    out["ours"] = lambda q, k, v: flash_attention(q, k, v, causal=True)
-
     from jax.experimental.pallas.ops.tpu import flash_attention as ufa
+
+    # a same-config warmup slot absorbs the first-measurement penalty
+    # (order effects of ~20% were observed between cold/warm processes)
+    out["warmup_ours"] = lambda q, k, v: flash_attention(q, k, v, causal=True)
+    out["ours"] = lambda q, k, v: flash_attention(q, k, v, causal=True)
 
     scale = 1.0 / (hs**0.5)
     out["upstream_flash"] = lambda q, k, v: ufa.flash_attention(
@@ -161,7 +163,9 @@ def main():
     ref = None
     rows = []
     for name, fn in vs.items():
-        if args.only and args.only not in name:
+        if args.only and not any(
+            s and s in name for s in args.only.split(",")
+        ):
             continue
         try:
             o = jax.jit(fn)(q, k, v)
