@@ -24,8 +24,18 @@ def main(argv=None):
     )
     p.add_argument("--micro-batch", type=int, default=None)
     p.add_argument("--seq-len", type=int, default=None)
+    p.add_argument(
+        "--block-size", type=int, default=None,
+        help="model context length (wpe rows); the reference is fixed at "
+        "1024 (train_gpt2.py:79) — larger values are the long-context "
+        "extension (streamed-KV flash kernel). Defaults to --seq-len when "
+        "that exceeds the preset's 1024",
+    )
     p.add_argument("--total-batch", type=int, default=None)
     p.add_argument("--no-hellaswag", action="store_true")
+    p.add_argument("--val-every", type=int, default=None)
+    p.add_argument("--save-every", type=int, default=None)
+    p.add_argument("--sample-every", type=int, default=None)
     p.add_argument(
         "--synthetic",
         action="store_true",
@@ -104,10 +114,22 @@ def main(argv=None):
         updates["micro_batch_size"] = args.micro_batch
     if args.seq_len:
         updates["seq_len"] = args.seq_len
+    block = args.block_size
+    if block is None and args.seq_len and args.seq_len > 1024:
+        block = args.seq_len
+    if block:
+        model = updates.get("model", cfg.model)
+        updates["model"] = model.replace(block_size=block)
     if args.total_batch:
         updates["total_batch_size"] = args.total_batch
     if args.no_hellaswag:
         updates["run_hellaswag"] = False
+    if args.val_every:
+        updates["val_every"] = args.val_every
+    if args.save_every:
+        updates["save_every"] = args.save_every
+    if args.sample_every:
+        updates["sample_every"] = args.sample_every
     if args.opt_state_dtype:
         updates["opt_state_dtype"] = args.opt_state_dtype
     if args.grad_accum_dtype:
