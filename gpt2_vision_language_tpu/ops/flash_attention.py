@@ -75,6 +75,24 @@ def _pick_block(t: int, want: int) -> int:
     return max(128, min(want, _round_up(t, 128)))
 
 
+def _auto_stream_kv(tq, tk, hs, itemsize, block_q, block_k) -> bool:
+    """Pick tile-streamed (3-D grid / split bwd) vs fully-VMEM-resident
+    kernels. The resident fused backward pins, per (b, h):
+      * K and V whole:            2 * tk_pad * hs * itemsize
+      * q + do (compute dtype) and a fp32 dq accumulator:
+                                  tq_pad * hs * (2 * itemsize + 4)
+    Both sides count TOGETHER against the scoped-VMEM budget — a
+    max() here under-triggered at T=4096 (each side alone sat exactly at
+    the 2 MB threshold while the kernel demanded 20 MB of scoped VMEM and
+    Mosaic refused the compile); a long-Tq/short-Tk cross-attention shape
+    can likewise blow the q side alone (ADVICE r2 #3)."""
+    tk_pad = _round_up(tk, _pick_block(tk, block_k))
+    tq_pad = _round_up(tq, _pick_block(tq, block_q))
+    kv_bytes = 2 * tk_pad * hs * itemsize
+    q_bytes = tq_pad * hs * (2 * itemsize + 4)
+    return kv_bytes + q_bytes > STREAM_KV_BYTES
+
+
 def _pad_t(x, t_pad, value=0.0):
     """Pad axis 1 (the sequence axis in every internal layout) to t_pad."""
     t = x.shape[1]
@@ -735,16 +753,9 @@ def flash_attention(
         f"got Tq={tq} Tk={tk}"
     )
     if stream_kv is None:
-        tk_pad = _round_up(tk, _pick_block(tk, block_k))
-        kv_bytes = 2 * tk_pad * k.shape[-1] * k.dtype.itemsize
-        # The q side counts too: with stream_kv=False the single-pass fused
-        # backward pins whole (tq_pad, hs) q/do/dq buffers per (b, h) in
-        # VMEM, so a long-Tq/short-Tk call (e.g. cross-attention over a
-        # short visual prefix) must also fall back to the split streamed
-        # kernels or it can exceed VMEM on device. dq accumulates fp32.
-        tq_pad = _round_up(tq, _pick_block(tq, block_q))
-        q_bytes = tq_pad * q.shape[-1] * (2 * q.dtype.itemsize + 4)
-        stream_kv = max(kv_bytes, q_bytes) > STREAM_KV_BYTES
+        stream_kv = _auto_stream_kv(
+            tq, tk, q.shape[-1], q.dtype.itemsize, block_q, block_k
+        )
     interpret = interpret or FORCE_INTERPRET
     bq_bwd = block_q_bwd or DEFAULT_BLOCK_Q_BWD
     bk_bwd = block_k_bwd or DEFAULT_BLOCK_K_BWD

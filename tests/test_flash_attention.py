@@ -278,3 +278,20 @@ def test_auto_stream_threshold():
     assert short <= fa.STREAM_KV_BYTES
     long = 2 * 16384 * 64 * 4  # Tk=16k fp32 -> streamed
     assert long > fa.STREAM_KV_BYTES
+
+
+def test_auto_stream_kv_decision():
+    """Auto-select must stream once the RESIDENT fused backward's combined
+    per-(b,h) VMEM pin (K+V whole, plus q/do/dq at full Tq) crosses the
+    budget — T=4096 hs=64 bf16 sat exactly at the old per-side threshold
+    and Mosaic refused the 20MB scoped-VMEM compile on device (r3 run)."""
+    from gpt2_vision_language_tpu.ops.flash_attention import _auto_stream_kv
+
+    # production pretrain shape stays resident (fastest measured)
+    assert not _auto_stream_kv(1024, 1024, 64, 2, 512, 512)
+    assert not _auto_stream_kv(2048, 2048, 64, 2, 512, 512)
+    # long context streams
+    assert _auto_stream_kv(4096, 4096, 64, 2, 512, 512)
+    assert _auto_stream_kv(8192, 8192, 64, 2, 512, 512)
+    # long-q / short-kv cross-attention: q side alone must trigger
+    assert _auto_stream_kv(8192, 64, 64, 2, 512, 512)
