@@ -211,8 +211,20 @@ def main_finetune():
     )
 
 
+def main_decode():
+    """Third mode: KV-cached caption decode throughput, the workload shape
+    of evaluate_cider (gpt2_linear/data.py:95-127). Delegates to
+    cli/bench_decode (single source of truth) — the reference regime is a
+    full re-forward per token at batch 1 (~0.48 captions/s measured)."""
+    from gpt2_vision_language_tpu.cli.bench_decode import main as bd
+
+    bd([])
+
+
 if __name__ == "__main__":
     if "--finetune" in sys.argv:
         main_finetune()
+    elif "--decode" in sys.argv:
+        main_decode()
     else:
         main()
