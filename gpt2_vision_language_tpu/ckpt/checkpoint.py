@@ -136,18 +136,25 @@ class CheckpointManager:
         save_every: int = 2500,
         async_save: bool = True,
         is_master: bool = True,
+        enabled: bool = True,
     ):
         """is_master: multi-host runs construct the manager on EVERY process
         and call save_step/save_final on every process (the host gather is
         a collective for model-parallel shardings — see tree_to_host); only
-        the master process touches the filesystem."""
+        the master process touches the filesystem.
+
+        enabled=False turns every save into a no-op (skipping the gather
+        too) — for runs where the multi-GB device->host fetch itself is the
+        risk or the bottleneck (e.g. benchmarking 1.5B-param configs over
+        a thin host link)."""
         self.dir = ckpt_dir
         self.save_every = save_every
         self.best_val = float("inf")
         self.async_save = async_save
         self.is_master = is_master
+        self.enabled = enabled
         self._inflight = {}  # path -> last writer thread (ordering)
-        if is_master:
+        if is_master and enabled:
             os.makedirs(ckpt_dir, exist_ok=True)
 
     def _write(self, path, host_tree, meta):
@@ -231,6 +238,8 @@ class CheckpointManager:
     ) -> None:
         """Rolling + best writes on the reference cadence
         (train_gpt2.py:363-391)."""
+        if not self.enabled:
+            return
         m = dict(meta or {})
         m.update({"step": step, "val_loss": float(val_loss)})
         rolling = step > 0 and (step % self.save_every == 0 or last_step)
@@ -248,6 +257,8 @@ class CheckpointManager:
             self._write(self.best_path, host_tree, m)
 
     def save_final(self, step: int, params, opt_state, val_loss=None, meta=None) -> None:
+        if not self.enabled:
+            return
         m = dict(meta or {})
         m.update({"step": step, "val_loss": val_loss})
         # gather is collective (all processes), write is master-only, sync

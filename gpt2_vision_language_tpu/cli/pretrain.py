@@ -34,6 +34,10 @@ def main(argv=None):
     p.add_argument("--total-batch", type=int, default=None)
     p.add_argument("--no-hellaswag", action="store_true")
     p.add_argument("--val-every", type=int, default=None)
+    p.add_argument(
+        "--no-ckpt", action="store_true",
+        help="disable checkpointing (and its device->host gather) entirely",
+    )
     p.add_argument("--save-every", type=int, default=None)
     p.add_argument("--sample-every", type=int, default=None)
     p.add_argument(
@@ -126,6 +130,8 @@ def main(argv=None):
         updates["run_hellaswag"] = False
     if args.val_every:
         updates["val_every"] = args.val_every
+    if args.no_ckpt:
+        updates["save_ckpt"] = False
     if args.save_every:
         updates["save_every"] = args.save_every
     if args.sample_every:

@@ -165,6 +165,9 @@ class PretrainConfig:
     # rounding (train/step.py) — the enabler for GPT-2 1558M on one 16GB
     # chip; None = exact fp32 accumulation (reference parity)
     grad_accum_dtype: Optional[str] = None
+    # False disables checkpointing entirely (including the device->host
+    # gather) — for perf/bring-up runs of multi-GB configs over thin links
+    save_ckpt: bool = True
     # "bfloat16" stores the MASTER PARAMS in bf16 — exactly the torch
     # reference's production mode on CUDA (model.to(bfloat16) + AdamW on
     # the bf16 params, train_gpt2.py:263-264). Our default keeps fp32

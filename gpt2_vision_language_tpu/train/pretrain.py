@@ -157,7 +157,8 @@ def run_pretrain(
     prof = ProfilerHook()
     ckpt_dir = os.path.join(log.log_dir, "ckpts")
     manager = CheckpointManager(
-        ckpt_dir, save_every=cfg.save_every, is_master=master
+        ckpt_dir, save_every=cfg.save_every, is_master=master,
+        enabled=cfg.save_ckpt,
     )
     hella = HellaSwagEvaluator(model_cfg, policy=policy)
     decoder = Decoder(model_cfg, policy=policy, sample_fn=sample_top_k)
