@@ -38,6 +38,11 @@ def main(argv=None):
         "--no-ckpt", action="store_true",
         help="disable checkpointing (and its device->host gather) entirely",
     )
+    p.add_argument(
+        "--no-nan-guard", action="store_true",
+        help="drop the in-graph NaN-rollback selects (frees old-state "
+        "liveness on HBM-edge configs; the loop still halts on non-finite)",
+    )
     p.add_argument("--save-every", type=int, default=None)
     p.add_argument("--sample-every", type=int, default=None)
     p.add_argument(
@@ -132,6 +137,8 @@ def main(argv=None):
         updates["val_every"] = args.val_every
     if args.no_ckpt:
         updates["save_ckpt"] = False
+    if args.no_nan_guard:
+        updates["nan_guard"] = False
     if args.save_every:
         updates["save_every"] = args.save_every
     if args.sample_every:

@@ -168,6 +168,10 @@ class PretrainConfig:
     # False disables checkpointing entirely (including the device->host
     # gather) — for perf/bring-up runs of multi-GB configs over thin links
     save_ckpt: bool = True
+    # False drops the in-graph NaN-rollback selects (train/step.py) —
+    # frees the old-state liveness on HBM-edge configs; the loop still
+    # halts on non-finite metrics
+    nan_guard: bool = True
     # "bfloat16" stores the MASTER PARAMS in bf16 — exactly the torch
     # reference's production mode on CUDA (model.to(bfloat16) + AdamW on
     # the bf16 params, train_gpt2.py:263-264). Our default keeps fp32

@@ -109,9 +109,16 @@ def _make(n_chunks: int, policy: Policy):
             p = p32.astype(policy.compute_dtype)
             dxc = jnp.dot(p, cc(w), preferred_element_type=acc)
             dw_c = jnp.dot(p.T, cc(xc), preferred_element_type=acc)
-            return dw + dw_c.astype(jnp.float32), dxc.astype(x.dtype)
+            return dw + dw_c.astype(dw.dtype), dxc.astype(x.dtype)
 
-        dw, dxs = jax.lax.scan(body, jnp.zeros((v, d), jnp.float32), (xs, ts, gs, ls))
+        # The (V, D) dw chunk accumulator follows the PARAM dtype: fp32
+        # masters keep the exact fp32 carry (parity path, unchanged); bf16
+        # masters (whole-model-bf16, GPT-2 1558M on one chip) carry bf16 —
+        # the cotangent is returned in w.dtype anyway, and the fp32 buffer
+        # (50304 x 1600 x 4 = 322 MB) was the single largest backward
+        # transient on a config that sat 134 MB over the HBM budget.
+        dw_dt = jnp.float32 if w.dtype == jnp.float32 else w.dtype
+        dw, dxs = jax.lax.scan(body, jnp.zeros((v, d), dw_dt), (xs, ts, gs, ls))
         dx = dxs.reshape(-1, d)[:n]
         return dx, dw.astype(w.dtype), None
 

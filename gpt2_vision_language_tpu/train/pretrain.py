@@ -147,6 +147,7 @@ def run_pretrain(
         cfg.schedule,
         decay_mask=gpt2.decay_mask(params),
         grad_accum_dtype=cfg.grad_accum_dtype,
+        nan_guard=cfg.nan_guard,
     )
     eval_step = make_eval_step(loss_fn)
 

@@ -43,7 +43,11 @@ def stochastic_round_bf16(x32, key):
     bf16 (3.1 GB instead of 6.2) without trajectory drift — see
     tests/test_bf16_drift.py::test_bf16_grad_accum_trajectory."""
     bits = jax.lax.bitcast_convert_type(x32.astype(jnp.float32), jnp.uint32)
-    rnd = jax.random.bits(key, x32.shape, jnp.uint32) & jnp.uint32(0xFFFF)
+    # 16 random bits generated AS uint16: at GPT-2 1558M the largest leaf
+    # is the (48, 1600, 4800) QKV stack, whose uint32 bits tensor alone
+    # would be a 1.5 GB transient per accumulate — uint16 halves every
+    # RNG temporary on the already-HBM-tight whole-model-bf16 path
+    rnd = jax.random.bits(key, x32.shape, jnp.uint16).astype(jnp.uint32)
     out = (bits + rnd) & jnp.uint32(0xFFFF0000)
     return jax.lax.bitcast_convert_type(out, jnp.float32).astype(jnp.bfloat16)
 
@@ -59,6 +63,7 @@ def make_train_step(
     donate: bool = True,
     mesh=None,
     grad_accum_dtype=None,
+    nan_guard: bool = True,
 ):
     """Build `step(params, opt_state, batch, step_idx) -> (params, opt_state,
     metrics)`.
@@ -180,13 +185,20 @@ def make_train_step(
         # SURVEY.md §5). The norm check matters: a NaN that appears only in
         # the backward (e.g. 0*inf in a VJP) leaves the forward loss finite
         # while poisoning every parameter through clip_scale.
-        ok = jnp.logical_and(jnp.isfinite(loss), jnp.isfinite(norm))
-        new_params = jax.tree.map(
-            lambda new, old: jnp.where(ok, new, old), new_params, params
-        )
-        new_opt = jax.tree.map(
-            lambda new, old: jnp.where(ok, new, old), new_opt, opt_state
-        )
+        # nan_guard=False drops the rollback selects: they keep OLD and NEW
+        # leaves simultaneously live, and on HBM-edge configs (GPT-2 1558M
+        # whole-model-bf16 sat 134 MB over a 15.75 GB budget) that
+        # scheduling slack is the difference between fitting and not. The
+        # caller's halt-on-nonfinite check still fires; only the
+        # keep-last-good-state property is traded away.
+        if nan_guard:
+            ok = jnp.logical_and(jnp.isfinite(loss), jnp.isfinite(norm))
+            new_params = jax.tree.map(
+                lambda new, old: jnp.where(ok, new, old), new_params, params
+            )
+            new_opt = jax.tree.map(
+                lambda new, old: jnp.where(ok, new, old), new_opt, opt_state
+            )
         metrics = {"loss": loss, "lr": lr, "grad_norm": norm}
         return new_params, new_opt, metrics
 
