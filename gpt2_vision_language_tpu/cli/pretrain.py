@@ -43,8 +43,17 @@ def main(argv=None):
         help="drop the in-graph NaN-rollback selects (frees old-state "
         "liveness on HBM-edge configs; the loop still halts on non-finite)",
     )
+    p.add_argument(
+        "--pin-layouts", action="store_true",
+        help="pin train/eval param+opt layouts to the default "
+        "major-to-minor layout (no bulk re-layout program — required to "
+        "fit 1558M whole-model-bf16 on one 16GB chip)",
+    )
     p.add_argument("--save-every", type=int, default=None)
-    p.add_argument("--sample-every", type=int, default=None)
+    p.add_argument(
+        "--sample-every", type=int, default=None,
+        help="0 disables sampling entirely (incl. the final step)",
+    )
     p.add_argument(
         "--synthetic",
         action="store_true",
@@ -139,9 +148,11 @@ def main(argv=None):
         updates["save_ckpt"] = False
     if args.no_nan_guard:
         updates["nan_guard"] = False
+    if args.pin_layouts:
+        updates["pin_layouts"] = True
     if args.save_every:
         updates["save_every"] = args.save_every
-    if args.sample_every:
+    if args.sample_every is not None:
         updates["sample_every"] = args.sample_every
     if args.opt_state_dtype:
         updates["opt_state_dtype"] = args.opt_state_dtype

@@ -172,6 +172,13 @@ class PretrainConfig:
     # frees the old-state liveness on HBM-edge configs; the loop still
     # halts on non-finite metrics
     nan_guard: bool = True
+    # True pins the train/eval steps' param+opt entry/result layouts to the
+    # default major-to-minor layout (train/step.py default_formats) so XLA
+    # never materializes a bulk layout-conversion program (~4.1 GB of
+    # simultaneous copy temps at 1558M — the last 127 MB OOM). Off by
+    # default: compiler-preferred entry layouts may be faster when HBM
+    # is not the constraint.
+    pin_layouts: bool = False
     # "bfloat16" stores the MASTER PARAMS in bf16 — exactly the torch
     # reference's production mode on CUDA (model.to(bfloat16) + AdamW on
     # the bf16 params, train_gpt2.py:263-264). Our default keeps fp32

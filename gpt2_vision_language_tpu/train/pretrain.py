@@ -141,6 +141,14 @@ def run_pretrain(
         n = gpt2.param_count(params)
         print(f"[init] parameters: {n:,}")
 
+    io_formats = pf = None
+    if cfg.pin_layouts:
+        # layout-stable loop: no bulk param re-layout program, ever
+        # (train/step.py default_formats — the 1558M single-chip enabler)
+        from .step import default_formats
+
+        pf = default_formats(params)
+        io_formats = (pf, default_formats(opt_state))
     train_step = make_train_step(
         loss_fn,
         cfg.optimizer,
@@ -148,8 +156,9 @@ def run_pretrain(
         decay_mask=gpt2.decay_mask(params),
         grad_accum_dtype=cfg.grad_accum_dtype,
         nan_guard=cfg.nan_guard,
+        io_formats=io_formats,
     )
-    eval_step = make_eval_step(loss_fn)
+    eval_step = make_eval_step(loss_fn, params_formats=pf)
 
     log = MetricsLogger(cfg.log_dir, is_master=master)
     # self-identifying artifacts: which tokenizer produced this run
@@ -242,7 +251,13 @@ def run_pretrain(
             if total:
                 log.hellaswag(step, correct / total, correct, total)
 
-        if (step > 0 and step % cfg.sample_every == 0) or last_step:
+        # sample_every=0 disables sampling entirely (incl. the last step) —
+        # the decoder is a separate executable whose params entry layouts
+        # XLA picks independently; on HBM-edge configs the resulting bulk
+        # re-layout of the tree is exactly what pin_layouts exists to avoid
+        if cfg.sample_every and (
+            (step > 0 and step % cfg.sample_every == 0) or last_step
+        ):
             # every process runs the (SPMD) generation over the global
             # params — only rank 0 prints. Skipping the jitted computation
             # on non-master processes would deadlock a multi-host run.

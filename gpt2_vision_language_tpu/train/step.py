@@ -52,6 +52,26 @@ def stochastic_round_bf16(x32, key):
     return jax.lax.bitcast_convert_type(out, jnp.float32).astype(jnp.bfloat16)
 
 
+def default_formats(tree):
+    """Tree of `Format`s pinning each live array's CURRENT sharding with the
+    default (major-to-minor) layout.
+
+    Purpose: on TPU, XLA picks preferred entry layouts per executable (e.g.
+    a transposed {1,2,0} for the stacked MLP wproj in the train step's
+    backward). When init/eval/train disagree, jax materializes a bulk
+    layout-conversion program holding a copy of every mismatched leaf
+    SIMULTANEOUSLY — ~4.1 GB of transients at GPT-2 1558M, which is what
+    pushed the whole-model-bf16 single-chip config 127 MB over the 15.75 GB
+    HBM budget. Pinning in/out formats to the default layout keeps the
+    param/opt trees layout-stable end-to-end; any preferred-layout
+    transposes happen inside the step as scheduled (not all-live) temps."""
+    from jax.experimental.layout import Format, Layout
+
+    return jax.tree.map(
+        lambda x: Format(Layout(tuple(range(x.ndim))), x.sharding), tree
+    )
+
+
 def make_train_step(
     loss_fn: Callable,
     opt_cfg: OptimizerConfig,
@@ -64,6 +84,7 @@ def make_train_step(
     mesh=None,
     grad_accum_dtype=None,
     nan_guard: bool = True,
+    io_formats=None,
 ):
     """Build `step(params, opt_state, batch, step_idx) -> (params, opt_state,
     metrics)`.
@@ -80,6 +101,12 @@ def make_train_step(
     accumulator HBM (the enabler for GPT-2 1558M on a 16 GB chip) using
     unbiased stochastic rounding at each accumulate; drift pinned in
     tests/test_bf16_drift.py.
+
+    io_formats: optional (params_formats, opt_formats) trees from
+    `default_formats` — pins the step's param/opt entry AND result layouts
+    so no bulk layout-conversion program is ever materialized (see
+    default_formats; pure memory knob, numerics unchanged). Incompatible
+    with the 5-arg `extra` calling form.
     """
     accum_dt = jnp.dtype(grad_accum_dtype) if grad_accum_dtype else jnp.float32
     use_sr = accum_dt == jnp.bfloat16
@@ -203,10 +230,18 @@ def make_train_step(
         return new_params, new_opt, metrics
 
     donate_argnums = (0, 1) if donate else ()
+    if io_formats is not None:
+        pf, of = io_formats
+        return jax.jit(
+            step,
+            donate_argnums=donate_argnums,
+            in_shardings=(pf, of, None, None),
+            out_shardings=(pf, of, None),
+        )
     return jax.jit(step, donate_argnums=donate_argnums)
 
 
-def make_eval_step(loss_fn: Callable):
+def make_eval_step(loss_fn: Callable, params_formats=None):
     """Jitted eval: mean loss over a (steps, B, ...) batch pytree
     (val-loss loop, train_gpt2.py:341-350). Accepts the same optional
     `extra` pytree as make_train_step."""
@@ -224,4 +259,8 @@ def make_eval_step(loss_fn: Callable):
         lsum, _ = jax.lax.scan(body, jnp.float32(0.0), batch)
         return lsum / n
 
+    if params_formats is not None:
+        # pin the params entry layouts to match the (pinned) train step so
+        # running eval never re-lays-out the whole tree (see default_formats)
+        return jax.jit(step, in_shardings=(params_formats, None))
     return jax.jit(step)

@@ -179,6 +179,27 @@ def test_pretrain_whole_model_bf16(tiny_cfg):
     assert out["opt_state"]["m"]["wte"].dtype == jnp.bfloat16
 
 
+def test_pretrain_pin_layouts_matches(tiny_cfg, tmp_path):
+    """pin_layouts is a pure memory/layout knob (train/step.py
+    default_formats): pinned and unpinned runs must produce identical
+    numerics through the full loop. (On TPU, pinning is what removes the
+    bulk param re-layout program that OOM'd the 1558M single-chip config.)"""
+    from gpt2_vision_language_tpu.train.pretrain import run_pretrain
+
+    cfg_pin = dataclasses.replace(
+        tiny_cfg, pin_layouts=True, sample_every=0,
+        log_dir=str(tmp_path / "log_pin"),
+    )
+    out_pin = run_pretrain(cfg_pin, policy=FP32_POLICY, num_devices=1)
+    out_ref = run_pretrain(tiny_cfg, policy=FP32_POLICY, num_devices=1)
+    np.testing.assert_allclose(out_pin["val_loss"], out_ref["val_loss"], rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out_pin["params"]["wte"]),
+        np.asarray(out_ref["params"]["wte"]),
+        rtol=1e-6,
+    )
+
+
 def test_pretrain_resume(tiny_cfg):
     """Kill after 6 steps, resume must continue from step 7 with state."""
     from gpt2_vision_language_tpu.train.pretrain import run_pretrain
