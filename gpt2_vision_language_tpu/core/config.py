@@ -179,6 +179,16 @@ class PretrainConfig:
     # default: compiler-preferred entry layouts may be faster when HBM
     # is not the constraint.
     pin_layouts: bool = False
+    # n > 0 dispatches grad accumulation as small programs of n micros
+    # each (donated accumulator carry, lax.scan inside) + one optimizer
+    # program, instead of one jit holding the whole scan — the TPU
+    # runtime then only needs one small temp arena at a time
+    # (train/step.py split_accum; with the three bf16 flags + pin_layouts
+    # this is what actually fits GPT-2 1558M's 524288-token batch on one
+    # 16 GB chip). Numerically identical for every n, and measured equal
+    # to the one-jit step's throughput at 124M (async dispatches
+    # pipeline); n just bounds Python dispatch work per step.
+    split_accum: int = 0
     # "bfloat16" stores the MASTER PARAMS in bf16 — exactly the torch
     # reference's production mode on CUDA (model.to(bfloat16) + AdamW on
     # the bf16 params, train_gpt2.py:263-264). Our default keeps fp32

@@ -157,6 +157,7 @@ def run_pretrain(
         grad_accum_dtype=cfg.grad_accum_dtype,
         nan_guard=cfg.nan_guard,
         io_formats=io_formats,
+        split_accum=cfg.split_accum,
     )
     eval_step = make_eval_step(loss_fn, params_formats=pf)
 

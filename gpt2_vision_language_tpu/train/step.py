@@ -85,6 +85,7 @@ def make_train_step(
     grad_accum_dtype=None,
     nan_guard: bool = True,
     io_formats=None,
+    split_accum: bool = False,
 ):
     """Build `step(params, opt_state, batch, step_idx) -> (params, opt_state,
     metrics)`.
@@ -107,94 +108,100 @@ def make_train_step(
     so no bulk layout-conversion program is ever materialized (see
     default_formats; pure memory knob, numerics unchanged). Incompatible
     with the 5-arg `extra` calling form.
+
+    split_accum (int; True==1): dispatch the accumulation as small jitted
+    programs of `split_accum` micro-batches each (donated accumulator
+    carry, scan inside) plus one optimizer-update program, instead of a
+    single jit containing the whole lax.scan. Numerically IDENTICAL to
+    the one-jit scan for every chunking (same micro order, same SR keys)
+    but the TPU runtime only ever needs one program's temp arena at a
+    time: the one-jit 1558M step's arena is ~9 GiB *on top of* the
+    8.9 GiB of donated state, ~18 GiB total on a 16 GiB chip (it executes
+    nothing — runtime ResourceExhausted even though the scheduler's
+    live-peak passed the compile-time check), while a split program needs
+    state 11.6 GiB + a ~3.3 GiB arena regardless of chunk length (the
+    scan reuses its body buffers). Dispatches are async-enqueued and
+    pipeline cleanly even through the axon tunnel — measured split ==
+    one-jit step time at 124M — so chunk length is a minor knob (fewer
+    Python dispatches per step). The update program also emits the next
+    step's zeroed accumulator carry (aliasing the donated gsum), so
+    steps after the first skip the ~150-leaf init dispatch. The returned
+    callable has the same signature but is not itself a jax.jit object.
     """
     accum_dt = jnp.dtype(grad_accum_dtype) if grad_accum_dtype else jnp.float32
     use_sr = accum_dt == jnp.bfloat16
 
-    def step(params, opt_state, batch, step_idx, extra=None):
-        lr = cosine_warmup_lr(step_idx, sched_cfg)
+    # The freeze (stop_gradient on frozen leaves) must be applied INSIDE
+    # the traced function being differentiated: stop_gradient applied to
+    # the *argument* of value_and_grad does nothing — grads are taken
+    # w.r.t. the argument itself, so frozen leaves would still receive
+    # full nonzero gradients (extra backward matmuls + fp32 grad HBM for
+    # the frozen 124M decoder in finetunes). With the freeze inside, the
+    # frozen cotangents are structural zeros that XLA dead-code
+    # eliminates, reproducing requires_grad_(False)
+    # (gpt2_linear/model.py:161-164).
+    def wrapped_loss(p, micro, extra=None):
+        if trainable_mask is not None:
+            p = freeze(p, trainable_mask)
+        return loss_fn(p, micro) if extra is None else loss_fn(p, micro, extra)
 
-        # The freeze (stop_gradient on frozen leaves) must be applied INSIDE
-        # the traced function being differentiated: stop_gradient applied to
-        # the *argument* of value_and_grad does nothing — grads are taken
-        # w.r.t. the argument itself, so frozen leaves would still receive
-        # full nonzero gradients (extra backward matmuls + fp32 grad HBM for
-        # the frozen 124M decoder in finetunes). With the freeze inside, the
-        # frozen cotangents are structural zeros that XLA dead-code
-        # eliminates, reproducing requires_grad_(False)
-        # (gpt2_linear/model.py:161-164).
-        def wrapped_loss(p, micro):
-            if trainable_mask is not None:
-                p = freeze(p, trainable_mask)
-            return loss_fn(p, micro) if extra is None else loss_fn(p, micro, extra)
-
-        grad_fn = jax.value_and_grad(wrapped_loss)
-
-        tmask = (
+    def tmask_for(params):
+        return (
             trainable_mask
             if trainable_mask is not None
             else jax.tree.map(lambda _: True, params)
         )
 
-        def body(carry, xs):
-            micro, midx = xs
-            gsum, lsum = carry
-            loss, grads = grad_fn(params, micro)
-            if not use_sr:
-                gsum = jax.tree.map(
-                    lambda a, g, tr: a + g.astype(jnp.float32) if tr else a,
-                    gsum,
-                    grads,
-                    tmask,
-                )
-            else:
-                # bf16 accumulators: add in fp32, stochastic-round the sum
-                # back to bf16. Keys: one per (step, micro, leaf) so no two
-                # roundings ever share randomness.
-                base = jax.random.fold_in(
-                    jax.random.fold_in(jax.random.PRNGKey(0x5EED), step_idx),
-                    midx,
-                )
-                flat_a, tdef = jax.tree_util.tree_flatten(gsum)
-                flat_g = jax.tree_util.tree_leaves(grads)
-                flat_t = jax.tree_util.tree_leaves(tmask)
-                flat_a = [
-                    stochastic_round_bf16(
-                        a.astype(jnp.float32) + g.astype(jnp.float32),
-                        jax.random.fold_in(base, i),
-                    )
-                    if tr
-                    else a
-                    for i, (a, g, tr) in enumerate(
-                        zip(flat_a, flat_g, flat_t)
-                    )
-                ]
-                gsum = jax.tree_util.tree_unflatten(tdef, flat_a)
-            return (gsum, lsum + loss), None
+    def accumulate(gsum, grads, tmask, step_idx, midx):
+        """gsum += grads on trainable leaves (shared by the scan body and
+        the split_accum per-micro program — identical SR keys either way)."""
+        if not use_sr:
+            return jax.tree.map(
+                lambda a, g, tr: a + g.astype(jnp.float32) if tr else a,
+                gsum,
+                grads,
+                tmask,
+            )
+        # bf16 accumulators: add in fp32, stochastic-round the sum
+        # back to bf16. Keys: one per (step, micro, leaf) so no two
+        # roundings ever share randomness.
+        base = jax.random.fold_in(
+            jax.random.fold_in(jax.random.PRNGKey(0x5EED), step_idx), midx
+        )
+        flat_a, tdef = jax.tree_util.tree_flatten(gsum)
+        flat_g = jax.tree_util.tree_leaves(grads)
+        flat_t = jax.tree_util.tree_leaves(tmask)
+        flat_a = [
+            stochastic_round_bf16(
+                a.astype(jnp.float32) + g.astype(jnp.float32),
+                jax.random.fold_in(base, i),
+            )
+            if tr
+            else a
+            for i, (a, g, tr) in enumerate(zip(flat_a, flat_g, flat_t))
+        ]
+        return jax.tree_util.tree_unflatten(tdef, flat_a)
 
-        accum = jax.tree.leaves(batch)[0].shape[0]
+    def gzero_for(params, tmask):
         # frozen leaves carry scalar placeholders, not (shape) fp32 buffers:
         # the frozen 124M decoder in finetunes costs 0 grad-accumulator HBM
-        gzero = jax.tree.map(
+        return jax.tree.map(
             lambda p, tr: jnp.zeros(p.shape if tr else (), accum_dt),
             params,
             tmask,
         )
-        (gsum, lsum), _ = jax.lax.scan(
-            body,
-            (gzero, jnp.float32(0.0)),
-            (batch, jnp.arange(accum, dtype=jnp.int32)),
-        )
-        scale = 1.0 / accum
+
+    def apply_update(params, opt_state, gsum, lsum, step_idx, inv_accum):
+        lr = cosine_warmup_lr(step_idx, sched_cfg)
         # scale in the ACCUMULATOR dtype: upcasting the whole tree to fp32
         # here would materialize a second full-size grads tree (6.2 GB at
         # 1558M) and defeat the bf16 accumulators; adamw_update upcasts
         # per-leaf inside the fused update instead. For bf16 the 1/accum
         # multiply is exact whenever accum is a power of two.
         grads = jax.tree.map(
-            lambda g: g * jnp.asarray(scale, g.dtype), gsum
+            lambda g: g * jnp.asarray(inv_accum, g.dtype), gsum
         )
-        loss = lsum * scale
+        loss = lsum * inv_accum
 
         new_params, new_opt, norm = adamw_update(
             params,
@@ -228,6 +235,195 @@ def make_train_step(
             )
         metrics = {"loss": loss, "lr": lr, "grad_norm": norm}
         return new_params, new_opt, metrics
+
+    def step(params, opt_state, batch, step_idx, extra=None):
+        grad_fn = jax.value_and_grad(
+            lambda p, micro: wrapped_loss(p, micro, extra)
+        )
+        tmask = tmask_for(params)
+
+        def body(carry, xs):
+            micro, midx = xs
+            gsum, lsum = carry
+            loss, grads = grad_fn(params, micro)
+            gsum = accumulate(gsum, grads, tmask, step_idx, midx)
+            return (gsum, lsum + loss), None
+
+        accum = jax.tree.leaves(batch)[0].shape[0]
+        (gsum, lsum), _ = jax.lax.scan(
+            body,
+            (gzero_for(params, tmask), jnp.float32(0.0)),
+            (batch, jnp.arange(accum, dtype=jnp.int32)),
+        )
+        return apply_update(
+            params, opt_state, gsum, lsum, step_idx, jnp.float32(1.0 / accum)
+        )
+
+    if split_accum:
+        # int semantics: micros per dispatched program (True == 1). Larger
+        # chunks scan several micros inside one program — same small temp
+        # arena (the scan reuses its body buffers), 1/chunk the host
+        # dispatches. Dispatches are async-enqueued and pipeline cleanly
+        # even through the axon tunnel (measured: chunked split == one-jit
+        # step time at 124M), so chunk mainly bounds Python dispatch work
+        # per step. SR keys depend only on (step_idx, midx, leaf), so
+        # every chunking is numerically identical.
+        chunk = max(1, int(split_accum))
+
+        def accum_chunk_fn(g):
+            def accum_chunk(params, carry, batch, step_idx, start):
+                # slice each micro INSIDE the jit: the staged (accum, B,
+                # T+1) batch stays one resident device array across all
+                # dispatches
+                tmask = tmask_for(params)
+
+                def body(c, midx):
+                    micro = jax.tree.map(
+                        lambda x: jax.lax.dynamic_index_in_dim(
+                            x, midx, 0, keepdims=False
+                        ),
+                        batch,
+                    )
+                    gsum, lsum = c
+                    loss, grads = jax.value_and_grad(wrapped_loss)(
+                        params, micro
+                    )
+                    gsum = accumulate(gsum, grads, tmask, step_idx, midx)
+                    return (gsum, lsum + loss), None
+
+                carry, _ = jax.lax.scan(
+                    body, carry, start + jnp.arange(g, dtype=jnp.int32)
+                )
+                return carry
+
+            return accum_chunk
+
+        def update(params, opt_state, carry, step_idx, inv_accum):
+            gsum, lsum = carry
+            new_params, new_opt, metrics = apply_update(
+                params, opt_state, gsum, lsum, step_idx, inv_accum
+            )
+            # also emit next step's zeroed accumulator carry: it aliases
+            # the donated gsum buffers, so steps after the first need no
+            # separate ~150-leaf init (each tree init is its own host
+            # dispatch — ~0.3 s/step through the axon tunnel)
+            gzero = jax.tree.map(jnp.zeros_like, gsum)
+            return new_params, new_opt, metrics, (gzero, jnp.float32(0.0))
+
+        if io_formats is not None:
+            from jax.experimental.layout import Format, Layout
+
+            pf, of = io_formats
+            tmf = (
+                trainable_mask
+                if trainable_mask is not None
+                else jax.tree.map(lambda _: True, pf)
+            )
+            # accumulator formats: default layout at the (trainable-masked)
+            # leaf rank, same shardings as the params
+            gf = jax.tree.map(
+                lambda f, tr: Format(
+                    Layout(
+                        tuple(range(len(f.layout.major_to_minor) if tr else 0))
+                    ),
+                    f.sharding,
+                ),
+                pf,
+                tmf,
+            )
+            cf = (gf, None)
+            accum_jit_kw = dict(
+                donate_argnums=(1,) if donate else (),
+                in_shardings=(pf, cf, None, None, None),
+                out_shardings=cf,
+            )
+            update_jit = jax.jit(
+                update,
+                donate_argnums=(0, 1, 2) if donate else (),
+                in_shardings=(pf, of, cf, None, None),
+                out_shardings=(pf, of, None, cf),
+            )
+        else:
+            accum_jit_kw = dict(donate_argnums=(1,) if donate else ())
+            update_jit = jax.jit(
+                update, donate_argnums=(0, 1, 2) if donate else ()
+            )
+
+        accum_jits = {}  # chunk length -> jitted program (≤2 distinct)
+
+        def get_accum_jit(g):
+            if g not in accum_jits:
+                accum_jits[g] = jax.jit(accum_chunk_fn(g), **accum_jit_kw)
+            return accum_jits[g]
+
+        def init_carry(params):
+            # every leaf must come out COMMITTED (explicit device_put):
+            # update_jit's recycled carry is committed, and a single
+            # uncommitted first-step leaf — even just the lsum scalar —
+            # is a different jit cache key that recompiles both programs
+            # a second time after step 0 (measured +22 s at 124M, ~10 min
+            # at 1558M). A jitted fill doesn't work here: jit prunes the
+            # unused params arg, and a no-input program's outputs are
+            # uncommitted.
+            tmask = tmask_for(params)
+            gsum = jax.tree.map(
+                lambda p, tr: jax.device_put(
+                    jnp.zeros(p.shape if tr else (), accum_dt), p.sharding
+                ),
+                params,
+                tmask,
+            )
+            sh0 = jax.tree.leaves(params)[0].sharding
+            if hasattr(sh0, "spec"):  # NamedSharding: scalars need P()
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                sh0 = NamedSharding(sh0.mesh, PartitionSpec())
+            return (gsum, jax.device_put(jnp.float32(0.0), sh0))
+
+        next_carry = [None]  # zeroed carry recycled from the last update
+        staged = {}  # python int -> staged device scalar (reused each step)
+
+        def stage(v, dt):
+            key = (v, dt)
+            if key not in staged:
+                staged[key] = jnp.asarray(v, dt)
+            return staged[key]
+
+        committed = [False]
+
+        def split_step(params, opt_state, batch, step_idx, extra=None):
+            assert extra is None, "split_accum does not support `extra`"
+            accum = jax.tree.leaves(batch)[0].shape[0]
+            if not committed[0]:
+                # commit the state arrays to their shardings: fresh init()
+                # output is UNcommitted, but everything update_jit returns
+                # is committed, and that jit-cache-key difference would
+                # recompile both programs a second time after step 0
+                # (measured: +22 s at 124M, ~+10 min at 1558M)
+                commit = lambda x: jax.device_put(x, x.sharding)
+                params = jax.tree.map(commit, params)
+                opt_state = jax.tree.map(commit, opt_state)
+                committed[0] = True
+            carry = next_carry[0]
+            if carry is None:
+                carry = init_carry(params)
+            step_idx = jnp.asarray(step_idx, jnp.int32)
+            for start in range(0, accum, chunk):
+                g = min(chunk, accum - start)
+                carry = get_accum_jit(g)(
+                    params, carry, batch, step_idx, stage(start, jnp.int32)
+                )
+            params, opt_state, metrics, nxt = update_jit(
+                params,
+                opt_state,
+                carry,
+                step_idx,
+                stage(1.0 / accum, jnp.float32),
+            )
+            next_carry[0] = nxt
+            return params, opt_state, metrics
+
+        return split_step
 
     donate_argnums = (0, 1) if donate else ()
     if io_formats is not None:

@@ -57,6 +57,52 @@ def test_loss_decreases():
     assert losses[-1] < losses[0] - 0.2, losses
 
 
+@pytest.mark.parametrize(
+    "accum_dtype,chunk",
+    [(None, 1), (None, 3), ("bfloat16", 1), ("bfloat16", 3)],
+)
+def test_split_accum_matches_scan(accum_dtype, chunk):
+    """split_accum (small programs of `chunk` micros + one update program —
+    the 1558M single-chip runtime-HBM enabler) must reproduce the one-jit
+    scan step: same micro order, same SR keys; tolerances only for the
+    float reassociation of separately-compiled programs. chunk=3 with
+    accum=4 exercises the remainder program (3+1)."""
+    params = gpt2.init(jax.random.PRNGKey(0), SMALL)
+    if accum_dtype:
+        params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)
+    state = adamw_init(params)
+    kw = dict(
+        decay_mask=gpt2.decay_mask(params),
+        use_fused_adamw=False,
+        grad_accum_dtype=accum_dtype,
+    )
+    scan_step = make_train_step(
+        _loss_fn, OptimizerConfig(), SCHED, donate=False, **kw
+    )
+    split_step = make_train_step(
+        _loss_fn, OptimizerConfig(), SCHED, donate=False, split_accum=chunk,
+        **kw
+    )
+    rng = np.random.RandomState(1)
+    p1, s1, p2, s2 = params, state, params, state
+    for i in range(3):
+        batch = _batch(rng, 4, 2, 16)
+        p1, s1, m1 = scan_step(p1, s1, batch, jnp.int32(i))
+        p2, s2, m2 = split_step(p2, s2, batch, jnp.int32(i))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+    np.testing.assert_allclose(
+        float(m1["grad_norm"]), float(m2["grad_norm"]), rtol=1e-5
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=2e-6, atol=1e-6,
+        ),
+        p1,
+        p2,
+    )
+
+
 @requires_reference
 def test_full_train_step_parity_vs_torch():
     """3 optimizer steps with grad accumulation, clipping, cosine LR and
