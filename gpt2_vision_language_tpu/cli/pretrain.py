@@ -33,7 +33,12 @@ def main(argv=None):
     )
     p.add_argument("--total-batch", type=int, default=None)
     p.add_argument("--no-hellaswag", action="store_true")
-    p.add_argument("--val-every", type=int, default=None)
+    p.add_argument(
+        "--val-every", type=int, default=None,
+        help="0 disables validation (and its checkpoint save) entirely — "
+        "the eval executable's reserved temp arena matters on HBM-edge "
+        "configs",
+    )
     p.add_argument(
         "--no-ckpt", action="store_true",
         help="disable checkpointing (and its device->host gather) entirely",
@@ -59,6 +64,11 @@ def main(argv=None):
         "Numerically identical for every N, throughput equal to one-jit",
     )
     p.add_argument("--save-every", type=int, default=None)
+    p.add_argument(
+        "--log-dir", default=None,
+        help="CSV/checkpoint output directory (default: ./log, the "
+        "reference's layout — train_gpt2.py:369)",
+    )
     p.add_argument(
         "--sample-every", type=int, default=None,
         help="0 disables sampling entirely (incl. the final step)",
@@ -151,7 +161,7 @@ def main(argv=None):
         updates["total_batch_size"] = args.total_batch
     if args.no_hellaswag:
         updates["run_hellaswag"] = False
-    if args.val_every:
+    if args.val_every is not None:
         updates["val_every"] = args.val_every
     if args.no_ckpt:
         updates["save_ckpt"] = False
@@ -163,6 +173,8 @@ def main(argv=None):
         updates["split_accum"] = args.split_accum
     if args.save_every:
         updates["save_every"] = args.save_every
+    if args.log_dir:
+        updates["log_dir"] = args.log_dir
     if args.sample_every is not None:
         updates["sample_every"] = args.sample_every
     if args.opt_state_dtype:

@@ -172,12 +172,12 @@ class PretrainConfig:
     # frees the old-state liveness on HBM-edge configs; the loop still
     # halts on non-finite metrics
     nan_guard: bool = True
-    # True pins the train/eval steps' param+opt entry/result layouts to the
-    # default major-to-minor layout (train/step.py default_formats) so XLA
-    # never materializes a bulk layout-conversion program (~4.1 GB of
+    # True pins the train/eval steps' param+opt entry/result layouts to
+    # the state's layout at build time (train/step.py default_formats) so
+    # XLA never materializes a bulk layout-conversion program (~4.1 GB of
     # simultaneous copy temps at 1558M — the last 127 MB OOM). Off by
-    # default: compiler-preferred entry layouts may be faster when HBM
-    # is not the constraint.
+    # default: per-executable compiler-preferred entry layouts may be
+    # faster when HBM is not the constraint.
     pin_layouts: bool = False
     # n > 0 dispatches grad accumulation as small programs of n micros
     # each (donated accumulator carry, lax.scan inside) + one optimizer

@@ -113,12 +113,21 @@ def run_pretrain(
             attn_impl=cfg.attn_impl, act_sharding=act_sh,
         )
 
-    params = gpt2.init(jax.random.PRNGKey(cfg.seed), model_cfg)
-    if cfg.param_dtype:
-        # whole-model cast, the reference's CUDA production mode
-        # (train_gpt2.py:264); AdamW math stays fp32 (optimizer.py)
-        pd = jnp.dtype(cfg.param_dtype)
-        params = jax.tree.map(lambda p: p.astype(pd), params)
+    def _build_params():
+        p = gpt2.init(jax.random.PRNGKey(cfg.seed), model_cfg)
+        if cfg.param_dtype:
+            # whole-model cast, the reference's CUDA production mode
+            # (train_gpt2.py:264); AdamW math stays fp32 (optimizer.py)
+            pd = jnp.dtype(cfg.param_dtype)
+            p = jax.tree.map(lambda x: x.astype(pd), p)
+        return p
+
+    # init+cast as ONE jitted program: the fp32 init tree lives only in
+    # the program's temp arena (freed wholesale), so a bf16 run's params
+    # allocate directly in bf16 — the eager per-leaf init+cast briefly
+    # held fp32+bf16 trees (8.7 GiB at 1558M) and left the HBM pool
+    # fragmented before the optimizer/accumulator trees landed
+    params = jax.jit(_build_params)()
     if cfg.tp > 1:
         # Megatron column/row parameter shardings over the model axis;
         # optimizer states inherit the placement through zeros_like
@@ -221,7 +230,12 @@ def run_pretrain(
         t0 = time.time()
         last_step = step == max_steps - 1
 
-        if step % cfg.val_every == 0 or last_step:
+        # val_every=0 disables validation (and the per-val checkpoint save)
+        # entirely: the eval step is a separate executable whose temp arena
+        # the TPU runtime keeps reserved for the life of the process, and on
+        # HBM-edge configs (1558M one-chip) that reservation is the
+        # difference between the per-micro train program fitting or not
+        if cfg.val_every and (step % cfg.val_every == 0 or last_step):
             val_loader.reset()
             vbatch = stage(val_loader.next_accum_rowbuf(cfg.val_steps))
             val_loss = float(eval_step(params, vbatch))

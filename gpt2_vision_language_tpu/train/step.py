@@ -53,8 +53,8 @@ def stochastic_round_bf16(x32, key):
 
 
 def default_formats(tree):
-    """Tree of `Format`s pinning each live array's CURRENT sharding with the
-    default (major-to-minor) layout.
+    """Tree of `Format`s pinning each live array's CURRENT sharding and
+    CURRENT layout.
 
     Purpose: on TPU, XLA picks preferred entry layouts per executable (e.g.
     a transposed {1,2,0} for the stacked MLP wproj in the train step's
@@ -62,13 +62,25 @@ def default_formats(tree):
     layout-conversion program holding a copy of every mismatched leaf
     SIMULTANEOUSLY — ~4.1 GB of transients at GPT-2 1558M, which is what
     pushed the whole-model-bf16 single-chip config 127 MB over the 15.75 GB
-    HBM budget. Pinning in/out formats to the default layout keeps the
-    param/opt trees layout-stable end-to-end; any preferred-layout
-    transposes happen inside the step as scheduled (not all-live) temps."""
+    HBM budget. Pinning in/out formats keeps the param/opt trees
+    layout-stable end-to-end; any preferred-layout transposes happen inside
+    the step as scheduled (not all-live) temps.
+
+    Pinning the CURRENT layout (not the default major-to-minor): even a
+    bare zeros fill gets a transposed preferred layout at some shapes
+    (zeros((48,6400,1600), bf16) is {0,2,1} on v5e), so fresh-init params
+    already sit in preferred layouts. Declaring those exact layouts means
+    no leaf ever needs a relayout copy — committing the state into the
+    pinned format is then free, whereas forcing default layouts costs a
+    full param+opt copy with BOTH trees live (~9 GB at 1558M: the caller
+    still references the originals)."""
     from jax.experimental.layout import Format, Layout
 
     return jax.tree.map(
-        lambda x: Format(Layout(tuple(range(x.ndim))), x.sharding), tree
+        lambda x: Format(
+            Layout(x.format.layout.major_to_minor), x.sharding
+        ),
+        tree,
     )
 
 
@@ -163,21 +175,39 @@ def make_train_step(
                 tmask,
             )
         # bf16 accumulators: add in fp32, stochastic-round the sum
-        # back to bf16. Keys: one per (step, micro, leaf) so no two
-        # roundings ever share randomness.
+        # back to bf16. Keys: one per (step, micro, leaf[, slice]) so no
+        # two roundings ever share randomness.
         base = jax.random.fold_in(
             jax.random.fold_in(jax.random.PRNGKey(0x5EED), step_idx), midx
         )
+
+        def sr_add(a, g, key):
+            # chunk the fp32 sum over the leading (layer-stack) axis: a
+            # whole-leaf fp32 transient is 1.4 GiB at 1558M's QKV stack,
+            # and those transients were the difference between the
+            # per-micro accum program's arena fitting (3.3 GiB) and not
+            # (5.0 GiB) next to 11.6 GiB of resident state. lax.scan
+            # sequences the slices so only one fp32 slice is live.
+            if a.ndim >= 2 and a.shape[0] >= 2:
+                def body(_, xs):
+                    ai, gi, ki = xs
+                    return None, stochastic_round_bf16(
+                        ai.astype(jnp.float32) + gi.astype(jnp.float32), ki
+                    )
+
+                _, out = jax.lax.scan(
+                    body, None, (a, g, jax.random.split(key, a.shape[0]))
+                )
+                return out
+            return stochastic_round_bf16(
+                a.astype(jnp.float32) + g.astype(jnp.float32), key
+            )
+
         flat_a, tdef = jax.tree_util.tree_flatten(gsum)
         flat_g = jax.tree_util.tree_leaves(grads)
         flat_t = jax.tree_util.tree_leaves(tmask)
         flat_a = [
-            stochastic_round_bf16(
-                a.astype(jnp.float32) + g.astype(jnp.float32),
-                jax.random.fold_in(base, i),
-            )
-            if tr
-            else a
+            sr_add(a, g, jax.random.fold_in(base, i)) if tr else a
             for i, (a, g, tr) in enumerate(zip(flat_a, flat_g, flat_t))
         ]
         return jax.tree_util.tree_unflatten(tdef, flat_a)
@@ -319,13 +349,11 @@ def make_train_step(
                 if trainable_mask is not None
                 else jax.tree.map(lambda _: True, pf)
             )
-            # accumulator formats: default layout at the (trainable-masked)
-            # leaf rank, same shardings as the params
+            # accumulator formats: the params' pinned layouts at trainable
+            # leaves (scalar placeholders at frozen ones), same shardings
             gf = jax.tree.map(
                 lambda f, tr: Format(
-                    Layout(
-                        tuple(range(len(f.layout.major_to_minor) if tr else 0))
-                    ),
+                    Layout(f.layout.major_to_minor if tr else ()),
                     f.sharding,
                 ),
                 pf,
@@ -366,13 +394,30 @@ def make_train_step(
             # unused params arg, and a no-input program's outputs are
             # uncommitted.
             tmask = tmask_for(params)
-            gsum = jax.tree.map(
-                lambda p, tr: jax.device_put(
-                    jnp.zeros(p.shape if tr else (), accum_dt), p.sharding
-                ),
-                params,
-                tmask,
-            )
+            if io_formats is not None:
+                # pin the zeros into gf explicitly: XLA gives even a bare
+                # fill a transposed preferred layout at some shapes
+                # (measured: zeros((48,6400,1600), bf16) comes out
+                # (0,2,1) on v5e), and a committed arg whose layout
+                # mismatches accum_jit's declared in_shardings is a hard
+                # error
+                gsum = jax.tree.map(
+                    lambda p, tr, f: jax.device_put(
+                        jnp.zeros(p.shape if tr else (), accum_dt), f
+                    ),
+                    params,
+                    tmask,
+                    gf,
+                )
+            else:
+                gsum = jax.tree.map(
+                    lambda p, tr: jax.device_put(
+                        jnp.zeros(p.shape if tr else (), accum_dt),
+                        p.sharding,
+                    ),
+                    params,
+                    tmask,
+                )
             sh0 = jax.tree.leaves(params)[0].sharding
             if hasattr(sh0, "spec"):  # NamedSharding: scalars need P()
                 from jax.sharding import NamedSharding, PartitionSpec
@@ -395,14 +440,24 @@ def make_train_step(
             assert extra is None, "split_accum does not support `extra`"
             accum = jax.tree.leaves(batch)[0].shape[0]
             if not committed[0]:
-                # commit the state arrays to their shardings: fresh init()
-                # output is UNcommitted, but everything update_jit returns
-                # is committed, and that jit-cache-key difference would
+                # commit the state arrays: fresh init() output is
+                # UNcommitted, but everything update_jit returns is
+                # committed, and that jit-cache-key difference would
                 # recompile both programs a second time after step 0
-                # (measured: +22 s at 124M, ~+10 min at 1558M)
-                commit = lambda x: jax.device_put(x, x.sharding)
-                params = jax.tree.map(commit, params)
-                opt_state = jax.tree.map(commit, opt_state)
+                # (measured: +22 s at 124M, ~+10 min at 1558M). With
+                # pinned io_formats, commit INTO the declared format —
+                # a committed arg whose layout mismatches in_shardings is
+                # a hard error (uncommitted args would be silently
+                # relaid) — leaf-by-leaf, so the relayout transient is
+                # one leaf's copy, never the all-leaves-live bulk program
+                # pin_layouts exists to avoid.
+                if io_formats is None:
+                    commit = lambda x: jax.device_put(x, x.sharding)
+                    params = jax.tree.map(commit, params)
+                    opt_state = jax.tree.map(commit, opt_state)
+                else:
+                    params = jax.tree.map(jax.device_put, params, pf)
+                    opt_state = jax.tree.map(jax.device_put, opt_state, of)
                 committed[0] = True
             carry = next_carry[0]
             if carry is None:

@@ -200,6 +200,45 @@ def test_pretrain_pin_layouts_matches(tiny_cfg, tmp_path):
     )
 
 
+def test_pretrain_split_accum_pinned_matches(tiny_cfg, tmp_path):
+    """pin_layouts + split_accum — the GPT-2 1558M single-chip recipe's
+    memory knobs — through the full workload loop must reproduce the
+    default one-jit path's numerics (split dispatch commits params INTO
+    the pinned format; a mismatch here is a hard jit layout error)."""
+    from gpt2_vision_language_tpu.train.pretrain import run_pretrain
+
+    cfg_sp = dataclasses.replace(
+        tiny_cfg, pin_layouts=True, split_accum=2, sample_every=0,
+        log_dir=str(tmp_path / "log_split"),
+    )
+    out_sp = run_pretrain(cfg_sp, policy=FP32_POLICY, num_devices=1)
+    out_ref = run_pretrain(tiny_cfg, policy=FP32_POLICY, num_devices=1)
+    np.testing.assert_allclose(out_sp["val_loss"], out_ref["val_loss"], rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out_sp["params"]["wte"]),
+        np.asarray(out_ref["params"]["wte"]),
+        rtol=2e-6,
+        atol=1e-6,
+    )
+
+
+def test_pretrain_val_disabled(tiny_cfg, tmp_path):
+    """val_every=0 must skip validation (and its checkpoint save) entirely —
+    the HBM-edge bring-up mode where the eval executable's reserved temp
+    arena would not fit next to the train program (1558M one-chip)."""
+    from gpt2_vision_language_tpu.train.pretrain import run_pretrain
+
+    cfg = dataclasses.replace(
+        tiny_cfg, val_every=0, sample_every=0,
+        log_dir=str(tmp_path / "log_noval"),
+    )
+    out = run_pretrain(cfg, policy=FP32_POLICY, num_devices=1)
+    assert np.isnan(out["val_loss"])  # never evaluated
+    csvs = [f for f in os.listdir(cfg.log_dir) if f.endswith(".csv")]
+    content = open(os.path.join(cfg.log_dir, csvs[0])).read()
+    assert ",train," in content and ",val," not in content
+
+
 def test_pretrain_resume(tiny_cfg):
     """Kill after 6 steps, resume must continue from step 7 with state."""
     from gpt2_vision_language_tpu.train.pretrain import run_pretrain
