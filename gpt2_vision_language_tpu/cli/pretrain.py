@@ -107,9 +107,12 @@ def main(argv=None):
         "(requires --tp > 1 and seq_len %% tp == 0)",
     )
     p.add_argument(
-        "--opt-state-dtype", choices=["float32", "bfloat16"], default=None,
+        "--opt-state-dtype", choices=["float32", "bfloat16", "int8"],
+        default=None,
         help="AdamW m/v storage dtype; bfloat16 halves optimizer HBM "
-        "(fits 774M on a 16GB chip), update math stays fp32",
+        "(fits 774M on a 16GB chip), int8 block-quantizes the moments "
+        "(Dettmers-style; with bf16 params+accum it fits 1558M on one "
+        "chip with room for micro-batch > 1). Update math stays fp32",
     )
     p.add_argument(
         "--param-dtype", choices=["float32", "bfloat16"], default=None,

@@ -159,7 +159,10 @@ class PretrainConfig:
     log_dir: Optional[str] = None  # defaults to $LOG_DIR or log
     seed: int = 1337
     # "bfloat16" halves AdamW m/v HBM (what fits GPT-2 774M on a 16GB
-    # v5e chip); None = fp32, the reference-parity default
+    # v5e chip); "int8" block-quantizes the moments to ~2.03 bytes/param
+    # total (Dettmers-style absmax blocks, train/optimizer.py q8_*) —
+    # frees ~4.3 GB at 1558M, the margin the single-chip run needs;
+    # None = fp32, the reference-parity default
     opt_state_dtype: Optional[str] = None
     # "bfloat16" halves the grad-accumulator HBM via unbiased stochastic
     # rounding (train/step.py) — the enabler for GPT-2 1558M on one 16GB

@@ -134,6 +134,10 @@ def run_pretrain(
         from ..parallel.sharding import shard_params
 
         params = shard_params(params, mesh)
+    assert not (cfg.tp > 1 and cfg.opt_state_dtype == "int8"), (
+        "int8 moments + TP param sharding not supported (the q/s leaves "
+        "have no Megatron sharding rule)"
+    )
     opt_state = adamw_init(
         params,
         state_dtype=jnp.dtype(cfg.opt_state_dtype)
