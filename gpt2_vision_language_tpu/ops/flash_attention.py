@@ -141,9 +141,27 @@ def _mask_scores(s, iq, j, *, bq, bk, tk, q_off, causal, ragged_k):
 # ---------------------------------------------------------------------------
 
 
+NUM_LANES = 128
+
+
+def _rep(stat, w):
+    """Broadcast a lane-replicated (bq, NUM_LANES) stat to width w: a slice
+    below one vreg, lane-block copies above — never a 1-lane broadcast."""
+    if w <= NUM_LANES:
+        return stat[:, :w]
+    assert w % NUM_LANES == 0, (w, NUM_LANES)
+    return jnp.tile(stat, (1, w // NUM_LANES))
+
+
 def _fwd_step(q, k, v, carry, iq, j, *, bq, bk, scale, tk, q_off, causal,
               ragged_k):
-    """One online-softmax update with kv tile j. carry = (acc, m, l)."""
+    """One online-softmax update with kv tile j. carry = (acc, m, l).
+
+    m and l ride lane-replicated (bq, NUM_LANES) vregs rather than (bq, 1)
+    columns: every stat update then runs full-width on the VPU and the
+    s/p broadcasts become vreg copies instead of single-lane broadcasts
+    (the layout jax's upstream pallas flash kernel uses, which its fwd
+    A/B win over the (bq, 1) version traced back to — ROUND_NOTES r3)."""
     acc, m, l = carry
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -153,14 +171,14 @@ def _fwd_step(q, k, v, carry, iq, j, *, bq, bk, scale, tk, q_off, causal,
         ragged_k=ragged_k,
     )
     m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
-    p = jnp.exp(s - m_new)
+    p = jnp.exp(s - _rep(m_new, s.shape[-1]))
     corr = jnp.exp(m - m_new)
     l = l * corr + jnp.sum(p, axis=1, keepdims=True)
     pv = jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    return acc * corr + pv, m_new, l
+    return acc * _rep(corr, acc.shape[-1]) + pv, m_new, l
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, bq, bk, scale, tk,
@@ -180,11 +198,11 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, bq, bk, scale, tk,
         )
 
     acc0 = jnp.zeros((bq, hs), jnp.float32)
-    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((bq, 1), jnp.float32)
+    m0 = jnp.full((bq, NUM_LANES), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, NUM_LANES), jnp.float32)
     acc, m, l = jax.lax.fori_loop(0, num_kv, body, (acc0, m0, l0))
-    o_ref[0] = (acc / l).astype(o_ref.dtype)
-    lse_ref[0] = m + jnp.log(l)  # (bq, 1)
+    o_ref[0] = (acc / _rep(l, hs)).astype(o_ref.dtype)
+    lse_ref[0] = (m + jnp.log(l))[:, :1]  # (bq, 1)
 
 
 def _fwd_kernel_grid(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref,
@@ -213,8 +231,9 @@ def _fwd_kernel_grid(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref,
 
     @pl.when(jk == nk_grid - 1)
     def _():
-        o_ref[0] = (acc_ref[...] / l_ref[...]).astype(o_ref.dtype)
-        lse_ref[0] = m_ref[...] + jnp.log(l_ref[...])
+        hs = o_ref.shape[-1]
+        o_ref[0] = (acc_ref[...] / _rep(l_ref[...], hs)).astype(o_ref.dtype)
+        lse_ref[0] = (m_ref[...] + jnp.log(l_ref[...]))[:, :1]
 
 
 def _kv_index_map(*, bq, bk, tk, q_off, causal):
@@ -271,8 +290,8 @@ def _fwd(q, k, v, *, causal, bq, bk, stream_kv, interpret):
             out_shape=out_shape,
             scratch_shapes=[
                 pltpu.VMEM((bq, hs), jnp.float32),
-                pltpu.VMEM((bq, 1), jnp.float32),
-                pltpu.VMEM((bq, 1), jnp.float32),
+                pltpu.VMEM((bq, NUM_LANES), jnp.float32),
+                pltpu.VMEM((bq, NUM_LANES), jnp.float32),
             ],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "arbitrary"),
