@@ -84,6 +84,84 @@ def q8_dequantize(mq, shape):
     return (blocks * mq["s"][:, None]).reshape(-1)[:size].reshape(shape)
 
 
+Q8_CHUNK_TARGET = 1 << 22  # ~4M elements of fp32 chunk temps (~16 MB each)
+Q8_CHUNK_MIN = 1 << 22  # leaves below this update un-chunked
+
+
+def _q8_chunk_rows(shape) -> int:
+    """Rows of the leading axis per update chunk: the largest divisor G of
+    shape[0] with (G * rest) % Q8_BLOCK == 0 and G * rest <= the target
+    (or the smallest block-aligned G if even that exceeds the target).
+    Chunking over the LEADING axis (not the flat view) keeps each chunk a
+    contiguous slice of the stored buffer regardless of the leaf's pinned
+    layout, so the in-place loop below can read-modify-write it."""
+    d0 = int(shape[0])
+    rest = 1
+    for d in shape[1:]:
+        rest *= int(d)
+    best = 0
+    for g in range(1, d0 + 1):
+        if d0 % g or (g * rest) % Q8_BLOCK:
+            continue
+        if best and g * rest > Q8_CHUNK_TARGET:
+            break
+        best = g
+    return best  # 0: no block-aligned leading split exists
+
+
+def _q8_update_leaf_chunked(p, g, mq, vq, scal, G):
+    """In-place chunked 8-bit AdamW leaf update (exact same math and block
+    grouping as the un-chunked path — pinned by test_q8_chunked_matches).
+
+    Whole-leaf dequant -> update -> requant materializes ~4 fp32 copies of
+    the leaf in the update program's arena (the requant block-max keeps
+    m_new/v_new live); at GPT-2 1558M XLA overlapped several such leaves
+    and the update program asked for 21.9 GiB. This version walks the leaf
+    in G-leading-row chunks with a fori_loop whose carry IS the output
+    buffers: fp32 temps shrink to one chunk (~16 MB) and the donated
+    inputs alias straight through."""
+    lr, b1, b2, eps, clip_scale, bc1, bc2, wd = scal
+    shape = p.shape
+    rest = p.size // shape[0]
+    E = G * rest  # elements per chunk (multiple of Q8_BLOCK)
+    nchunks = shape[0] // G
+
+    def body(i, carry):
+        pb, qm, sm, qv, sv = carry
+        row0 = i * G
+        e0 = i * E
+        b0 = i * (E // Q8_BLOCK)
+        pc = jax.lax.dynamic_slice_in_dim(pb, row0, G, 0)
+        gc = jax.lax.dynamic_slice_in_dim(g, row0, G, 0)
+        mqc = jax.lax.dynamic_slice(qm, (e0,), (E,))
+        msc = jax.lax.dynamic_slice(sm, (b0,), (E // Q8_BLOCK,))
+        vqc = jax.lax.dynamic_slice(qv, (e0,), (E,))
+        vsc = jax.lax.dynamic_slice(sv, (b0,), (E // Q8_BLOCK,))
+        m32 = q8_dequantize({"q": mqc, "s": msc}, (E,))
+        r = q8_dequantize({"q": vqc, "s": vsc}, (E,))
+        g32 = gc.reshape(E).astype(jnp.float32) * clip_scale
+        m_new = b1 * m32 + (1.0 - b1) * g32
+        v_new = b2 * (r * r) + (1.0 - b2) * g32 * g32
+        p32 = pc.reshape(E).astype(jnp.float32)
+        p32 = p32 * (1.0 - lr * wd) if wd else p32
+        p32 = p32 - lr * (m_new / bc1) / (jnp.sqrt(v_new / bc2) + eps)
+        nm = q8_quantize(m_new)
+        nv = q8_quantize(jnp.sqrt(v_new), unsigned=True)
+        pb = jax.lax.dynamic_update_slice_in_dim(
+            pb, p32.astype(pb.dtype).reshape((G,) + shape[1:]), row0, 0
+        )
+        qm = jax.lax.dynamic_update_slice(qm, nm["q"], (e0,))
+        sm = jax.lax.dynamic_update_slice(sm, nm["s"], (b0,))
+        qv = jax.lax.dynamic_update_slice(qv, nv["q"], (e0,))
+        sv = jax.lax.dynamic_update_slice(sv, nv["s"], (b0,))
+        return pb, qm, sm, qv, sv
+
+    pb, qm, sm, qv, sv = jax.lax.fori_loop(
+        0, nchunks, body, (p, mq["q"], mq["s"], vq["q"], vq["s"])
+    )
+    return pb, {"q": qm, "s": sm}, {"q": qv, "s": sv}
+
+
 def adamw_init(params, state_dtype=None, trainable_mask=None):
     """Zero moments. state_dtype=jnp.bfloat16 halves the m/v HBM footprint
     (the difference between GPT-2 774M fitting a 16GB v5e chip or not:
@@ -203,6 +281,16 @@ def adamw_update(
         # bf16 AdamW
         param_dtype = p.dtype
         if q8:
+            G = _q8_chunk_rows(p.shape) if p.size >= Q8_CHUNK_MIN else 0
+            if G and p.shape[0] // G > 1:
+                return _q8_update_leaf_chunked(
+                    p, g, m, v,
+                    (
+                        lr, cfg.beta1, cfg.beta2, cfg.eps, clip_scale,
+                        bc1, bc2, wd,
+                    ),
+                    G,
+                )
             m = q8_dequantize(m, p.shape)
             r = q8_dequantize(v, p.shape)
             v = r * r  # v stored as sqrt(v)

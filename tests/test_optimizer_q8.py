@@ -65,6 +65,53 @@ def test_q8_unsigned_roundtrip():
     assert np.abs(back - r).max() <= bound
 
 
+def test_q8_chunked_update_matches_whole_leaf(monkeypatch):
+    """The in-place chunked leaf update (the 1558M update-program-arena
+    fix) must reproduce the whole-leaf q8 path: same math and same block
+    grouping — only instruction scheduling differs, so results may differ
+    by 1 ulp of fp32 (which can flip a quantized code by at most 1)."""
+    from gpt2_vision_language_tpu.train.optimizer import adamw_update
+
+    monkeypatch.setattr(opt_mod, "Q8_MIN_SIZE", 0)
+    rng = np.random.RandomState(7)
+    params = {
+        "w": jnp.asarray(rng.randn(8, 64, 64), jnp.float32),
+        "b": jnp.asarray(rng.randn(64), jnp.float32),
+    }
+    grads = jax.tree.map(
+        lambda p: jnp.asarray(rng.randn(*p.shape), jnp.float32), params
+    )
+    decay = {"w": True, "b": False}
+
+    def run_update(chunked):
+        monkeypatch.setattr(
+            opt_mod, "Q8_CHUNK_MIN", 0 if chunked else 1 << 60
+        )
+        monkeypatch.setattr(opt_mod, "Q8_CHUNK_TARGET", 4096)
+        state = adamw_init(params, state_dtype=jnp.int8)
+        return adamw_update(
+            params, grads, state, jnp.float32(1e-3),
+            OptimizerConfig(), decay_mask=decay,
+        )
+
+    p_c, s_c, n_c = run_update(True)
+    p_w, s_w, n_w = run_update(False)
+    assert float(n_c) == float(n_w)
+    np.testing.assert_allclose(
+        np.asarray(p_c["w"]), np.asarray(p_w["w"]), rtol=0, atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(p_c["b"]), np.asarray(p_w["b"]))
+    for mom in ("m", "v"):
+        qc = np.asarray(s_c[mom]["w"]["q"], np.int32)
+        qw = np.asarray(s_w[mom]["w"]["q"], np.int32)
+        assert np.abs(qc - qw).max() <= 1, (mom, np.abs(qc - qw).max())
+        np.testing.assert_allclose(
+            np.asarray(s_c[mom]["w"]["s"]),
+            np.asarray(s_w[mom]["w"]["s"]),
+            rtol=1e-5,
+        )
+
+
 def _run(batches, params, state_dtype):
     def loss_fn(p, micro):
         _, l = gpt2.apply(
