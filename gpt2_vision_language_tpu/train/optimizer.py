@@ -238,8 +238,18 @@ def adamw_update(
     decay_mask,
     trainable_mask=None,
     use_fused: bool = False,
+    grad_scale=None,
 ):
-    """One optimizer step. Returns (new_params, new_state, pre_clip_norm)."""
+    """One optimizer step. Returns (new_params, new_state, pre_clip_norm).
+
+    grad_scale: optional scalar applied to every grad (the grad-accum
+    1/accum mean). Folding it in here — norm scales linearly, and the
+    per-element multiply fuses into clip_scale — instead of pre-scaling
+    the grads tree in the caller avoids materializing a second full-size
+    grads tree (2.9 GB at 1558M: a scaled tree feeding the chunked 8-bit
+    update's fori_loop cannot fuse into the loop body, so XLA kept the
+    whole copy live in the update program's arena). Bit-identical to
+    pre-scaling whenever grad_scale is a power of two (1/accum is)."""
     if trainable_mask is None:
         trainable_mask = _tmap(lambda _: True, params)
     step = state["step"] + 1
@@ -248,7 +258,11 @@ def adamw_update(
     bc2 = 1.0 - cfg.beta2**t
 
     norm = global_norm(grads, trainable_mask)
+    if grad_scale is not None:
+        norm = norm * grad_scale
     clip_scale = jnp.minimum(1.0, cfg.grad_clip / (norm + 1e-6))
+    if grad_scale is not None:
+        clip_scale = clip_scale * grad_scale
 
     scalars_nowd = jnp.stack(
         [

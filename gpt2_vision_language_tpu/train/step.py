@@ -223,25 +223,24 @@ def make_train_step(
 
     def apply_update(params, opt_state, gsum, lsum, step_idx, inv_accum):
         lr = cosine_warmup_lr(step_idx, sched_cfg)
-        # scale in the ACCUMULATOR dtype: upcasting the whole tree to fp32
-        # here would materialize a second full-size grads tree (6.2 GB at
-        # 1558M) and defeat the bf16 accumulators; adamw_update upcasts
-        # per-leaf inside the fused update instead. For bf16 the 1/accum
-        # multiply is exact whenever accum is a power of two.
-        grads = jax.tree.map(
-            lambda g: g * jnp.asarray(inv_accum, g.dtype), gsum
-        )
+        # the 1/accum mean is folded into adamw_update's clip scalar
+        # (grad_scale) rather than applied as a tree.map here: a pre-scaled
+        # grads tree is a second full-size materialization (2.9 GB at
+        # 1558M) that cannot fuse into the chunked 8-bit update's loop.
+        # Exact for power-of-two accum, where the scaling commutes
+        # bit-for-bit with the clip multiply.
         loss = lsum * inv_accum
 
         new_params, new_opt, norm = adamw_update(
             params,
-            grads,
+            gsum,
             opt_state,
             lr,
             opt_cfg,
             decay_mask=decay_mask,
             trainable_mask=trainable_mask,
             use_fused=use_fused_adamw,
+            grad_scale=jnp.asarray(inv_accum, jnp.float32),
         )
         # failure guard: if the loss OR the grad norm went non-finite, keep
         # the old state so the caller can halt and the last checkpoint
