@@ -128,6 +128,12 @@ def run_pretrain(
     # held fp32+bf16 trees (8.7 GiB at 1558M) and left the HBM pool
     # fragmented before the optimizer/accumulator trees landed
     params = jax.jit(_build_params)()
+    jax.block_until_ready(jax.tree.leaves(params)[0])
+    # release the init executable NOW: _build_params stays referenced by
+    # this frame, so jax's executable cache would keep the loaded program
+    # (whose temp arena is the whole fp32 init tree, ~5.8 GB at 1558M)
+    # alive for the entire run alongside the train programs' arenas
+    jax.clear_caches()
     if cfg.tp > 1:
         # Megatron column/row parameter shardings over the model axis;
         # optimizer states inherit the placement through zeros_like

@@ -477,6 +477,12 @@ def make_train_step(
             next_carry[0] = nxt
             return params, opt_state, metrics
 
+        # debug/AOT hooks: memory probes lower these against real state to
+        # read each program's arena (jit.lower(...).compile()
+        # .memory_analysis()) without executing a step
+        split_step.debug_update_jit = update_jit
+        split_step.debug_get_accum_jit = get_accum_jit
+        split_step.debug_init_carry = init_carry
         return split_step
 
     donate_argnums = (0, 1) if donate else ()
