@@ -160,6 +160,52 @@ def test_int8_state_trajectory_tracks_fp32(monkeypatch):
     )
 
 
+def test_int8_state_frozen_leaves_and_ckpt_roundtrip(tmp_path, monkeypatch):
+    """int8 moments compose with freezing (frozen leaves keep scalar fp32
+    placeholders) and survive a checkpoint save/load with dtypes intact."""
+    from gpt2_vision_language_tpu.ckpt.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+    from gpt2_vision_language_tpu.train.optimizer import adamw_update
+
+    monkeypatch.setattr(opt_mod, "Q8_MIN_SIZE", 0)
+    params = {
+        "w": jnp.ones((4, 64, 64), jnp.float32),
+        "frozen": jnp.ones((8, 8), jnp.float32),
+    }
+    tmask = {"w": True, "frozen": False}
+    state = adamw_init(params, state_dtype=jnp.int8, trainable_mask=tmask)
+    assert isinstance(state["m"]["w"], dict)
+    assert state["m"]["frozen"].shape == ()  # scalar placeholder
+    assert state["m"]["frozen"].dtype == jnp.float32
+
+    grads = jax.tree.map(lambda p: jnp.full(p.shape, 0.01, jnp.float32), params)
+    p1, s1, _ = adamw_update(
+        params, grads, state, jnp.float32(1e-3),
+        OptimizerConfig(), decay_mask={"w": True, "frozen": False},
+        trainable_mask=tmask,
+    )
+    np.testing.assert_array_equal(np.asarray(p1["frozen"]), 1.0)  # untouched
+    assert np.any(np.asarray(s1["m"]["w"]["q"]) != 0)
+
+    path = str(tmp_path / "opt.npz")
+    save_checkpoint(path, {"opt": s1}, meta={"step": 1})
+    loaded, meta = load_checkpoint(path)
+    assert meta["step"] == 1
+    jax.tree.map(
+        lambda a, b: (
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+            # dtypes must survive (int8/uint8 codes, fp32 scales)
+            np.testing.assert_equal(
+                np.asarray(a).dtype, np.asarray(b).dtype
+            ),
+        ),
+        loaded["opt"],
+        s1,
+    )
+
+
 def test_int8_recipe_through_workload(tmp_path, monkeypatch):
     """The 1558M single-chip knobs together — int8 moments + bf16
     params/accum + pin_layouts + split_accum — run the pretrain workload
