@@ -144,6 +144,15 @@ def _mask_scores(s, iq, j, *, bq, bk, tk, q_off, causal, ragged_k):
 NUM_LANES = 128
 
 
+def _is_pow2(x: float) -> bool:
+    """True iff x is exactly a power of two (so multiplying by it is a
+    lossless exponent shift in every float format)."""
+    import math
+
+    m, _ = math.frexp(x)
+    return m == 0.5
+
+
 def _rep(stat, w):
     """Broadcast a lane-replicated (bq, NUM_LANES) stat to width w: a slice
     below one vreg, lane-block copies above — never a 1-lane broadcast."""
@@ -166,8 +175,10 @@ def _fwd_step(q, k, v, carry, iq, j, *, bq, bk, scale, tk, q_off, causal,
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
+    if scale != 1.0:  # scale == 1.0: q arrives pre-scaled (pow2 fold)
+        s = s * scale
     s = _mask_scores(
-        s * scale, iq, j, bq=bq, bk=bk, tk=tk, q_off=q_off, causal=causal,
+        s, iq, j, bq=bq, bk=bk, tk=tk, q_off=q_off, causal=causal,
         ragged_k=ragged_k,
     )
     m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
@@ -256,6 +267,13 @@ def _fwd(q, k, v, *, causal, bq, bk, stream_kv, interpret):
     tq_pad, tk_pad = _round_up(tq, bq), _round_up(tk, bk)
     q_off = tk - tq  # right-aligned causal (xla_sdpa parity)
     scale = 1.0 / (hs**0.5)
+    if _is_pow2(scale):
+        # fold the softmax scale into q OUTSIDE the kernel (fuses into the
+        # pad): exact for pow2 scales (hs = 4^k, every model here), and it
+        # deletes one (bq, bk) VPU multiply per visited tile pair — on a
+        # kernel whose gap to the MXU cap is VPU-bound, per-pair VPU work
+        # is the scarce resource (ROUND_NOTES r3 A/B).
+        q, scale = q * scale, 1.0
     qf = _pad_t(q.reshape(b * h, tq, hs), tq_pad)
     kf = _pad_t(k.reshape(b * h, tk, hs), tk_pad)
     vf = _pad_t(v.reshape(b * h, tk, hs), tk_pad)
@@ -326,8 +344,10 @@ def _dq_step(q, k, v, do, lse, dcap, dq, iq, j, *, bq, bk, scale, tk, q_off,
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
+    if scale != 1.0:  # scale == 1.0: q arrives pre-scaled (pow2 fold);
+        s = s * scale  # dq then picks the scale up once at the final store
     s = _mask_scores(
-        s * scale, iq, j, bq=bq, bk=bk, tk=tk, q_off=q_off, causal=causal,
+        s, iq, j, bq=bq, bk=bk, tk=tk, q_off=q_off, causal=causal,
         ragged_k=ragged_k,
     )
     p = jnp.exp(s - lse)  # (bq, bk)
@@ -335,7 +355,9 @@ def _dq_step(q, k, v, do, lse, dcap, dq, iq, j, *, bq, bk, scale, tk, q_off,
         do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    ds = p * (dp - dcap) * scale
+    ds = p * (dp - dcap)
+    if scale != 1.0:
+        ds = ds * scale
     return dq + jax.lax.dot_general(
         ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -344,7 +366,7 @@ def _dq_step(q, k, v, do, lse, dcap, dq, iq, j, *, bq, bk, scale, tk, q_off,
 
 def _dq_kernel_grid(q_ref, k_ref, v_ref, do_ref, lse_ref, dcap_ref, dq_ref,
                     acc_ref, *, bq, bk, scale, tk, q_off, causal, ragged_k,
-                    nk_grid):
+                    nk_grid, dq_scale=1.0):
     iq = pl.program_id(1)
     jk = pl.program_id(2)
     num_kv = _num_kv_blocks(iq, bq=bq, bk=bk, tk=tk, q_off=q_off, causal=causal)
@@ -363,12 +385,16 @@ def _dq_kernel_grid(q_ref, k_ref, v_ref, do_ref, lse_ref, dcap_ref, dq_ref,
 
     @pl.when(jk == nk_grid - 1)
     def _():
-        dq_ref[0] = acc_ref[...].astype(dq_ref.dtype)
+        acc = acc_ref[...]
+        if dq_scale != 1.0:  # pow2-fold mode: dq = (ds_unscaled k) * scale
+            acc = acc * dq_scale
+        dq_ref[0] = acc.astype(dq_ref.dtype)
 
 
 def _bwd_kernel_fused(q_ref, k_ref, v_ref, do_ref, lse_ref, dcap_ref,
                       dq_ref, dk_ref, dv_ref, dq_acc, *, bq, bk, scale,
-                      tq_pad, tk_pad, tk, q_off, causal, ragged_k):
+                      tq_pad, tk_pad, tk, q_off, causal, ragged_k,
+                      dq_scale=1.0):
     """Single-pass combined backward: grid (BH,), everything VMEM-resident.
 
     The split dq/dkv kernels each recompute s = qk^T and p = exp(s - lse)
@@ -402,8 +428,11 @@ def _bwd_kernel_fused(q_ref, k_ref, v_ref, do_ref, lse_ref, dcap_ref,
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+            if scale != 1.0:  # scale == 1.0: q pre-scaled (pow2 fold) —
+                s = s * scale  # dk = ds^T q~ is then already scaled, and
+                # dq picks the scale up once at the final store (dq_scale)
             s = _mask_scores(
-                s * scale, i, jk, bq=bq, bk=bk, tk=tk, q_off=q_off,
+                s, i, jk, bq=bq, bk=bk, tk=tk, q_off=q_off,
                 causal=causal, ragged_k=ragged_k,
             )
             p = jnp.exp(s - lse)  # (bq, bk)
@@ -415,7 +444,9 @@ def _bwd_kernel_fused(q_ref, k_ref, v_ref, do_ref, lse_ref, dcap_ref,
                 do, v, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            ds = p * (dp - dcap) * scale
+            ds = p * (dp - dcap)
+            if scale != 1.0:
+                ds = ds * scale
             dk = dk + jax.lax.dot_general(
                 ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -435,7 +466,10 @@ def _bwd_kernel_fused(q_ref, k_ref, v_ref, do_ref, lse_ref, dcap_ref,
         return carry_unused
 
     jax.lax.fori_loop(0, nk, kv_tile, 0)
-    dq_ref[0] = dq_acc[...].astype(dq_ref.dtype)
+    dq_out = dq_acc[...]
+    if dq_scale != 1.0:  # pow2-fold mode: dq = (ds_unscaled k) * scale
+        dq_out = dq_out * dq_scale
+    dq_ref[0] = dq_out.astype(dq_ref.dtype)
 
 
 def _dkv_step(k, v, q, do, lse, dcap, carry, i, jk, *, bq, bk, scale, tk,
@@ -445,9 +479,11 @@ def _dkv_step(k, v, q, do, lse, dcap, carry, i, jk, *, bq, bk, scale, tk,
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
+    if scale != 1.0:  # scale == 1.0: q pre-scaled (pow2 fold), so
+        s = s * scale  # dk = ds^T q~ carries the scale automatically
     # same mask transposed into this kernel's (i, jk) tile coordinates
     s = _mask_scores(
-        s * scale, i, jk, bq=bq, bk=bk, tk=tk, q_off=q_off, causal=causal,
+        s, i, jk, bq=bq, bk=bk, tk=tk, q_off=q_off, causal=causal,
         ragged_k=ragged_k,
     )
     p = jnp.exp(s - lse)  # (bq, bk)
@@ -458,7 +494,9 @@ def _dkv_step(k, v, q, do, lse, dcap, carry, i, jk, *, bq, bk, scale, tk,
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    ds = p * (dp - dcap) * scale
+    ds = p * (dp - dcap)
+    if scale != 1.0:
+        ds = ds * scale
     dk = dk + jax.lax.dot_general(
         ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -515,6 +553,12 @@ def _bwd(q, k, v, out, lse, do, *, causal, bq, bk, stream_kv, interpret,
     tq_pad, tk_pad = _round_up(tq, bq), _round_up(tk, bk)
     q_off = tk - tq
     scale = 1.0 / (hs**0.5)
+    dq_scale = 1.0
+    if _is_pow2(scale):
+        # pow2 fold (see _fwd): q pre-scaled outside the kernels, the
+        # per-pair (bq, bk) scale multiplies disappear, dk inherits the
+        # scale through q~, and dq applies it once at its final store
+        q, scale, dq_scale = q * scale, 1.0, scale
     ragged_k = tk_pad != tk
     qf = _pad_t(q.reshape(b * h, tq, hs), tq_pad)
     kf = _pad_t(k.reshape(b * h, tk, hs), tk_pad)
@@ -545,7 +589,9 @@ def _bwd(q, k, v, out, lse, do, *, causal, bq, bk, stream_kv, interpret,
         kvi = _kv_index_map(**{k_: kw[k_] for k_ in
                                ("bq", "bk", "tk", "q_off", "causal")})
         dq = pl.pallas_call(
-            functools.partial(_dq_kernel_grid, nk_grid=nk_grid, **kw),
+            functools.partial(
+                _dq_kernel_grid, nk_grid=nk_grid, dq_scale=dq_scale, **kw
+            ),
             grid=(b * h, tq_pad // bq, nk_grid),
             in_specs=[
                 pl.BlockSpec((1, bq, hs), qrow),
@@ -601,7 +647,8 @@ def _bwd(q, k, v, out, lse, do, *, causal, bq, bk, stream_kv, interpret,
         whole = lambda bh: (bh, 0, 0)
         dq, dk, dv = pl.pallas_call(
             functools.partial(
-                _bwd_kernel_fused, tq_pad=tq_pad, tk_pad=tk_pad, **kw
+                _bwd_kernel_fused, tq_pad=tq_pad, tk_pad=tk_pad,
+                dq_scale=dq_scale, **kw
             ),
             grid=(b * h,),
             in_specs=[
