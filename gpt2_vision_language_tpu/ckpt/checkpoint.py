@@ -204,7 +204,15 @@ class CheckpointManager:
         cannot clobber the historic best checkpoint with a worse model
         (best_val would otherwise restart at +inf). Multi-host: every
         process must see the same checkpoint files (shared or synced
-        filesystem) — verified with an allgather of the resumed step."""
+        filesystem) — verified with an allgather of the resumed step.
+
+        enabled=False disables resume too: 'no checkpointing' means the
+        run neither writes NOR auto-loads a prior run's multi-GB tree
+        (over a thin host link the silent load is exactly the cost the
+        flag exists to avoid, and resuming at step N from a bring-up
+        flag is surprising semantics)."""
+        if not self.enabled:
+            return None
         self.wait()
         if os.path.isfile(self.best_path):
             try:
@@ -242,7 +250,11 @@ class CheckpointManager:
             return
         m = dict(meta or {})
         m.update({"step": step, "val_loss": float(val_loss)})
-        rolling = step > 0 and (step % self.save_every == 0 or last_step)
+        rolling = (
+            self.save_every > 0
+            and step > 0
+            and (step % self.save_every == 0 or last_step)
+        )
         best = val_loss < self.best_val
         if not (rolling or best):
             return

@@ -32,11 +32,21 @@ def main(argv=None):
     from ..data.bpe_export import (
         export_bpe,
         export_bpe_from_hf,
-        find_hf_gpt2_assets,
+        iter_hf_gpt2_asset_candidates,
     )
 
     if args.scan:
-        src = find_hf_gpt2_assets()
+        # try every candidate: the sniff also matches RoBERTa-family
+        # caches (byte-level BPE, no <|endoftext|>) that export_bpe_from_hf
+        # rightly rejects — skip those and keep scanning
+        kind = src = None
+        for cand in iter_hf_gpt2_asset_candidates():
+            try:
+                kind = export_bpe_from_hf(cand, args.out)
+                src = cand
+                break
+            except ValueError as e:
+                print(f"scan: skipping {cand}: {e}")
         if src is None:
             print(
                 "scan: no offline GPT-2 tokenizer data found (no HF cache, "
@@ -45,7 +55,6 @@ def main(argv=None):
                 "machine instead"
             )
             return 1
-        kind = export_bpe_from_hf(src, args.out)
         print(f"scan hit: {src} ({kind})")
     elif args.from_hf:
         kind = export_bpe_from_hf(args.from_hf, args.out)
@@ -57,4 +66,6 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    sys.exit(main())

@@ -174,7 +174,7 @@ def main(argv=None):
         updates["pin_layouts"] = True
     if args.split_accum:
         updates["split_accum"] = args.split_accum
-    if args.save_every:
+    if args.save_every is not None:
         updates["save_every"] = args.save_every
     if args.log_dir:
         updates["log_dir"] = args.log_dir

@@ -175,11 +175,12 @@ def export_bpe_from_hf(src: str, out_dir: str) -> str:
     return kind
 
 
-def find_hf_gpt2_assets(roots: Optional[List[str]] = None) -> Optional[str]:
-    """Scan likely cache locations for offline HF GPT-2 tokenizer data.
-    Returns a path export_bpe_from_hf accepts, or None. (On this image the
-    scan comes up empty — no tiktoken, no HF cache; documented so the
-    real-vocab gap is provably environmental, not a missing feature.)"""
+def iter_hf_gpt2_asset_candidates(roots: Optional[List[str]] = None):
+    """Yield every plausible offline HF GPT-2 tokenizer source. The byte-
+    level-BPE sniff ('Ġthe' in the head) also matches RoBERTa-family
+    caches, whose vocab lacks <|endoftext|> — callers must try each
+    candidate and skip the ones export_bpe_from_hf rejects rather than
+    trust the first hit."""
     roots = roots or [
         os.path.expanduser("~/.cache/huggingface"),
         os.path.expanduser("~/.cache/tiktoken"),
@@ -196,7 +197,7 @@ def find_hf_gpt2_assets(roots: Optional[List[str]] = None) -> Optional[str]:
                     ) as f:
                         head = f.read(4096)
                     if "<|endoftext|>" in head or "Ġthe" in head:
-                        return dirpath
+                        yield dirpath
                 except OSError:
                     continue
             if "tokenizer.json" in filenames:
@@ -206,7 +207,13 @@ def find_hf_gpt2_assets(roots: Optional[List[str]] = None) -> Optional[str]:
                         with open(p, encoding="utf-8") as f:
                             head = f.read(4096)
                         if "<|endoftext|>" in head:
-                            return p
+                            yield p
                 except OSError:
                     continue
-    return None
+
+
+def find_hf_gpt2_assets(roots: Optional[List[str]] = None) -> Optional[str]:
+    """First candidate from iter_hf_gpt2_asset_candidates, or None. (On
+    this image the scan comes up empty — no tiktoken, no HF cache;
+    documented so the real-vocab gap is provably environmental.)"""
+    return next(iter_hf_gpt2_asset_candidates(roots), None)

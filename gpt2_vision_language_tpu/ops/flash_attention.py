@@ -155,11 +155,13 @@ def _is_pow2(x: float) -> bool:
 
 def _rep(stat, w):
     """Broadcast a lane-replicated (bq, NUM_LANES) stat to width w: a slice
-    below one vreg, lane-block copies above — never a 1-lane broadcast."""
+    below one vreg, lane-block copies above — never a 1-lane broadcast.
+    Non-multiple w > NUM_LANES (e.g. hs=192) tiles up and slices."""
     if w <= NUM_LANES:
         return stat[:, :w]
-    assert w % NUM_LANES == 0, (w, NUM_LANES)
-    return jnp.tile(stat, (1, w // NUM_LANES))
+    reps = -(-w // NUM_LANES)
+    out = jnp.tile(stat, (1, reps))
+    return out if out.shape[1] == w else out[:, :w]
 
 
 def _fwd_step(q, k, v, carry, iq, j, *, bq, bk, scale, tk, q_off, causal,

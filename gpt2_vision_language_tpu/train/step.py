@@ -38,7 +38,10 @@ def stochastic_round_bf16(x32, key):
     gradient accumulation the systematic round-to-nearest bias compounds.
     Adding 16 uniform random bits below the kept mantissa and truncating
     makes E[round(x)] = x exactly (magnitude-symmetric for negatives since
-    IEEE is sign-magnitude; inf/NaN payloads are preserved by the mask).
+    IEEE is sign-magnitude). Non-finite caveat: the random add can carry
+    into the exponent, so a NaN with a small payload may come out as Inf
+    — callers must treat non-finite as non-finite generically (the NaN
+    guard's isfinite check does), never rely on NaN-ness surviving.
     This is the trick that lets GPT-2 1558M's grad accumulators live in
     bf16 (3.1 GB instead of 6.2) without trajectory drift — see
     tests/test_bf16_drift.py::test_bf16_grad_accum_trajectory."""
@@ -181,24 +184,44 @@ def make_train_step(
             jax.random.fold_in(jax.random.PRNGKey(0x5EED), step_idx), midx
         )
 
+        def sr_chunks(shape):
+            """Leading-axis scan length for the SR add: smallest row-group
+            count whose slices stay under ~16 MB of fp32 (the transient
+            the chunking exists to bound) — NOT one row per step, which
+            would make the wte leaf a 50304-iteration sequential scan."""
+            d0 = int(shape[0])
+            rest = 1
+            for d in shape[1:]:
+                rest *= int(d)
+            target = 1 << 22  # 4M elements -> 16 MB fp32 slice
+            n = d0 if rest > target else 1  # huge rows: per-row is the floor
+            for g in range(1, d0 + 1):
+                if d0 % g == 0 and g * rest <= target:
+                    n = d0 // g
+            return n
+
         def sr_add(a, g, key):
             # chunk the fp32 sum over the leading (layer-stack) axis: a
             # whole-leaf fp32 transient is 1.4 GiB at 1558M's QKV stack,
             # and those transients were the difference between the
             # per-micro accum program's arena fitting (3.3 GiB) and not
             # (5.0 GiB) next to 11.6 GiB of resident state. lax.scan
-            # sequences the slices so only one fp32 slice is live.
-            if a.ndim >= 2 and a.shape[0] >= 2:
+            # sequences the row-group slices so only one is live.
+            nc = sr_chunks(a.shape) if a.ndim >= 2 else 1
+            if nc >= 2:
                 def body(_, xs):
                     ai, gi, ki = xs
                     return None, stochastic_round_bf16(
                         ai.astype(jnp.float32) + gi.astype(jnp.float32), ki
                     )
 
+                grp = a.shape[0] // nc
+                sh = (nc, grp) + a.shape[1:]
                 _, out = jax.lax.scan(
-                    body, None, (a, g, jax.random.split(key, a.shape[0]))
+                    body, None,
+                    (a.reshape(sh), g.reshape(sh), jax.random.split(key, nc)),
                 )
-                return out
+                return out.reshape(a.shape)
             return stochastic_round_bf16(
                 a.astype(jnp.float32) + g.astype(jnp.float32), key
             )

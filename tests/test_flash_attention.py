@@ -28,6 +28,29 @@ def test_forward_matches_xla(causal, t, bq, bk):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
 
 
+def test_non_multiple_lane_head_size_matches_xla():
+    """hs=192 (> 128 lanes, not a multiple): _rep must tile the
+    lane-replicated softmax stats up and slice back to width."""
+    q, k, v = _rand_qkv(jax.random.PRNGKey(7), 1, 2, 256, 192)
+    ref = xla_sdpa(q, k, v, causal=True)
+    out = flash_attention(q, k, v, causal=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, causal=True, interpret=True)
+        return jnp.sum(jnp.sin(o))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.sin(xla_sdpa(q, k, v, causal=True)))
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gr, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-4, err_msg=f"d{name}"
+        )
+
+
 def test_backward_matches_xla():
     q, k, v = _rand_qkv(jax.random.PRNGKey(1), 1, 2, 256, 64)
 
