@@ -113,3 +113,38 @@ def test_manager_triad_and_resume(tmp_path):
     assert best_meta["val_loss"] == 2.0
     m.save_final(3, params, opt, val_loss=2.0)
     assert os.path.exists(m.final_path)
+
+
+def test_disabled_manager_neither_writes_nor_resumes(tmp_path):
+    """enabled=False means no writes AND no silent auto-resume: bring-up
+    runs with --no-ckpt must not load a prior run's multi-GB tree."""
+    params = {"w": jnp.zeros((4,))}
+    opt = {"m": jnp.zeros((4,)), "step": jnp.int32(0)}
+    live = CheckpointManager(str(tmp_path), save_every=1)
+    live.save_step(1, params, opt, val_loss=1.0, last_step=True)
+    live.wait()
+    assert os.path.exists(live.last_path)
+
+    off = CheckpointManager(str(tmp_path), save_every=1, enabled=False)
+    assert off.maybe_resume() is None  # files exist, still no resume
+    off.save_step(2, params, opt, val_loss=0.5, last_step=True)
+    off.save_final(2, params, opt, val_loss=0.5)
+    off.wait()
+    _, meta = load_checkpoint(live.last_path)
+    assert meta["step"] == 1  # disabled manager never touched the files
+    assert not os.path.exists(live.final_path)
+
+
+def test_save_every_zero_suppresses_rolling(tmp_path):
+    """save_every=0: no rolling/last checkpoints (best-on-improvement and
+    final still write — 'final only' bring-up mode)."""
+    m = CheckpointManager(str(tmp_path), save_every=0)
+    params = {"w": jnp.zeros((4,))}
+    opt = {"m": jnp.zeros((4,)), "step": jnp.int32(0)}
+    m.save_step(2, params, opt, val_loss=float("inf"), last_step=False)
+    m.save_step(4, params, opt, val_loss=float("inf"), last_step=True)
+    m.wait()
+    assert not os.path.exists(m.last_path)
+    m.save_step(5, params, opt, val_loss=1.0, last_step=False)  # best
+    m.wait()
+    assert os.path.exists(m.best_path) and not os.path.exists(m.last_path)
