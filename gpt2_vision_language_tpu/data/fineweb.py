@@ -110,6 +110,55 @@ class TokenShardLoader:
             # warm the next window off the critical path
             self.tokens.prefetch(self.pos, self.B * self.T * self.world + 1)
 
+    def seek(self, n_batches: int) -> None:
+        """Position the loader as if `n_batches` next_batch() calls had run
+        since reset(), without reading any tokens — O(#shards), closed-form
+        per shard visit.
+
+        This is the resume half the reference never had: its auto-resume
+        restores only step/optimizer (train_gpt2.py:319-325) and
+        DataLoaderLite restarts at shard 0, silently re-training the early
+        corpus after every crash. Here run_pretrain seeks the train loader
+        to `start_step * accum` so a resumed trajectory consumes exactly
+        the tokens the uninterrupted run would have."""
+        stride = self.B * self.T * self.world
+        window = stride + 1
+        r0 = self.B * self.T * self.rank
+        need = window + r0
+        lens: list = [None] * len(self.shards)
+
+        def length(i: int) -> int:
+            if lens[i] is None:
+                lens[i] = len(self._open(self.shards[i]))
+            return lens[i]
+
+        def cap(i: int) -> int:
+            # batches consumable per visit: reads at r0 + j*stride while
+            # the NEXT pos + window still fits (mirrors _advance's wrap)
+            return (length(i) - r0 - window) // stride + 1
+
+        # entry shard: reset() semantics (first shard holding a window)
+        order = [i for i in range(len(self.shards)) if length(i) >= need]
+        if not order:
+            raise ValueError(f"no shard holds a full window of {window} tokens")
+        n = int(n_batches)
+        cur = order[0]
+        if n >= cap(cur):
+            # after the entry visit, visits cycle through qualifying shards
+            # starting after the entry shard (wrap order of _advance)
+            n -= cap(cur)
+            k = order.index(cur)
+            cycle = order[k + 1 :] + order[: k + 1]
+            n %= sum(cap(i) for i in cycle)  # skip whole epochs
+            for i in cycle:
+                if n < cap(i):
+                    cur = i
+                    break
+                n -= cap(i)
+        self.current_shard = cur
+        self.tokens = self._open(self.shards[cur])
+        self.pos = r0 + n * stride
+
     def next_batch(self) -> Tuple[np.ndarray, np.ndarray]:
         b, t = self.B, self.T
         if self.use_native:

@@ -769,6 +769,12 @@ def flash_attention_with_lse(
     Differentiable in BOTH outputs: the lse cotangent enters the FA-2
     backward as D_i -> D_i - dlse_i (see _bwd)."""
     assert q.shape[:2] == k.shape[:2] and k.shape == v.shape
+    assert not (causal and q.shape[2] > k.shape[2]), (
+        "causal flash requires Tq <= Tk (right-aligned queries); with "
+        "Tq > Tk the fully-masked leading rows would silently emit "
+        f"exp(0)-weighted garbage, not an error — got Tq={q.shape[2]} "
+        f"Tk={k.shape[2]}"
+    )
     return _flash_lse(
         q, k, v, causal, block_q, block_k,
         DEFAULT_BLOCK_Q_BWD, DEFAULT_BLOCK_K_BWD, False,

@@ -214,6 +214,66 @@ def adamw_init(params, state_dtype=None, trainable_mask=None):
     }
 
 
+def convert_moments(params, opt_state, state_dtype=None, trainable_mask=None):
+    """Re-encode a (restored) optimizer state's m/v into the storage format
+    adamw_init(state_dtype=...) would build — fp32/bf16 arrays or int8
+    blocks — preserving the moment VALUES.
+
+    Resume support: a checkpoint written under a different
+    --opt-state-dtype would otherwise silently replace the compressed
+    moments an HBM-edge config's memory budget depends on (or run a
+    parity config with quantized moments it never asked for). Leaves whose
+    format already matches pass through untouched — no lossy
+    requantization round-trip on a same-dtype resume. Remember v's int8
+    form stores sqrt(v) on the unsigned grid (see q8_quantize); the
+    fp32/bf16 forms store v itself. Runs eagerly, leaf by leaf (one-time
+    host-side cost; transients bounded by the largest single leaf)."""
+    int8_state = state_dtype is not None and jnp.dtype(state_dtype) == jnp.int8
+
+    def conv(p, cur, trainable, *, is_v):
+        if not trainable:
+            # scalar placeholder (adamw_init trainable_mask contract)
+            return jnp.zeros((), jnp.float32 if int8_state else
+                             (state_dtype or p.dtype))
+        want_q8 = int8_state and _q8_eligible(p)
+        is_q8 = isinstance(cur, dict)
+        if want_q8 and is_q8:
+            return cur
+        if not want_q8 and not is_q8:
+            want = jnp.float32 if int8_state else (state_dtype or p.dtype)
+            return cur if cur.dtype == want else cur.astype(want)
+        if want_q8:  # array -> int8 blocks
+            x = cur.astype(jnp.float32)
+            return q8_quantize(jnp.sqrt(x) if is_v else x, unsigned=is_v)
+        # int8 blocks -> array (sqrt(v) grid back to v)
+        x = q8_dequantize(cur, p.shape)
+        if is_v:
+            x = x * x
+        return x.astype(state_dtype or p.dtype)
+
+    # flatten_up_to keeps each q8 {"q","s"} dict intact as ONE moment leaf
+    # (plain tree.map would descend into it and break the params zip —
+    # same pattern as adamw_update)
+    flat_p, treedef = jax.tree.flatten(params)
+    flat_tr = (
+        [True] * len(flat_p)
+        if trainable_mask is None
+        else [bool(t) for t in treedef.flatten_up_to(trainable_mask)]
+    )
+
+    def walk(tree, *, is_v):
+        flat = [
+            conv(p, c, tr, is_v=is_v)
+            for p, c, tr in zip(flat_p, treedef.flatten_up_to(tree), flat_tr)
+        ]
+        return jax.tree.unflatten(treedef, flat)
+
+    out = dict(opt_state)
+    out["m"] = walk(opt_state["m"], is_v=False)
+    out["v"] = walk(opt_state["v"], is_v=True)
+    return out
+
+
 def global_norm(grads, mask=None):
     # upcast per element INSIDE the reduction (XLA fuses cast+square+sum, no
     # fp32 materialization): grads may arrive as bf16 accumulators

@@ -36,7 +36,7 @@ from ..parallel.mesh import (
     is_master,
     maybe_init_distributed,
 )
-from .optimizer import adamw_init
+from .optimizer import adamw_init, convert_moments
 from .step import make_train_step, make_eval_step
 
 
@@ -206,13 +206,30 @@ def run_pretrain(
             # configured master dtype either way
             pd = jnp.dtype(cfg.param_dtype)
             params = jax.tree.map(lambda p: p.astype(pd), params)
+        # enforce the configured moment storage (fp32/bf16 array or int8
+        # blocks) on the restored tree: a checkpoint written under a
+        # different --opt-state-dtype would otherwise silently replace the
+        # compressed moments this config's HBM budget depends on
+        opt_state = convert_moments(
+            params,
+            opt_state,
+            jnp.dtype(cfg.opt_state_dtype) if cfg.opt_state_dtype else None,
+        )
         if cfg.tp > 1:
             # checkpoints store host-gathered (unsharded) trees; restore
             # the Megatron placements
             params = shard_params(params, mesh)
             opt_state["m"] = shard_params(opt_state["m"], mesh)
             opt_state["v"] = shard_params(opt_state["v"], mesh)
-        start_step = int(meta.get("step", 0)) + 1
+        # save_step runs at the TOP of iteration s (params hold updates
+        # 0..s-1), so the saved step is the next one to RUN. The reference
+        # resumes at step+1 and silently skips one update per resume
+        # (train_gpt2.py:323 vs its save at :363-375) — deliberately not
+        # replicated; re-running step s's val is idempotent.
+        start_step = int(meta.get("step", 0))
+        # fast-forward the data stream to where the uninterrupted run would
+        # be (the reference restarts its loader at shard 0 on resume)
+        train_loader.seek(start_step * accum)
         if master:
             print(f"[ckpt] resumed from {manager.last_path} at step {start_step}")
 
@@ -259,6 +276,7 @@ def run_pretrain(
         if (
             cfg.run_hellaswag
             and hellaswag_dir_ok
+            and cfg.hellaswag_every  # 0 disables, like val/sample_every
             and (step % cfg.hellaswag_every == 0 or last_step)
         ):
             # examples sharded round-robin by process, counts summed across

@@ -20,8 +20,7 @@ tree + activations of a single micro-batch (with remat on blocks).
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -96,7 +95,6 @@ def make_train_step(
     trainable_mask=None,
     use_fused_adamw: bool = False,
     donate: bool = True,
-    mesh=None,
     grad_accum_dtype=None,
     nan_guard: bool = True,
     io_formats=None,

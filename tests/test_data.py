@@ -361,3 +361,31 @@ def test_loader_skips_undersized_shards(tmp_path):
     write_token_shard(os.path.join(d2, "t_train_0"), np.arange(5, dtype=np.uint16))
     with _pytest.raises(ValueError, match="full window"):
         TokenShardLoader(2, 10, split="train", data_dir=d2)
+
+
+@pytest.mark.parametrize("rank,world", [(0, 1), (1, 2)])
+def test_loader_seek_matches_replay(tmp_path, rank, world):
+    """seek(n) must land exactly where n next_batch() calls would: within a
+    shard, across the shard wrap, and across whole-epoch wraps (resume
+    fast-forward — the reference restarts its loader at shard 0)."""
+    d = str(tmp_path / "corpus")
+    write_synthetic_corpus(
+        d, vocab_size=64, shard_tokens=1 << 12, n_train=3, n_val=1
+    )
+    mk = lambda: TokenShardLoader(
+        2, 8, rank=rank, world_size=world, split="train", data_dir=d,
+        use_native=False,
+    )
+    # per-shard capacity at world=2/rank=1: (4096-16-33)//32+1 = 127
+    for n in [0, 1, 126, 127, 128, 380, 381, 500]:
+        ref = mk()
+        for _ in range(n):
+            ref.next_batch()
+        ref_state = (ref.current_shard, ref.pos)
+        xr, yr = ref.next_batch()
+        fast = mk()
+        fast.seek(n)
+        assert (fast.current_shard, fast.pos) == ref_state
+        xf, yf = fast.next_batch()
+        np.testing.assert_array_equal(xf, xr, err_msg=f"n={n}")
+        np.testing.assert_array_equal(yf, yr, err_msg=f"n={n}")

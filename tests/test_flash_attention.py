@@ -251,6 +251,21 @@ def test_cross_shape_backward_matches_xla():
         )
 
 
+def test_with_lse_causal_tq_gt_tk_rejected():
+    """flash_attention_with_lse must reject causal Tq > Tk like
+    flash_attention does — that shape's fully-masked leading rows would
+    emit exp(0)-weighted garbage, not an error."""
+    from gpt2_vision_language_tpu.ops.flash_attention import (
+        flash_attention_with_lse,
+    )
+
+    q, k, v = _rand_qkv(jax.random.PRNGKey(3), 1, 2, 256, 64)
+    with pytest.raises(AssertionError):
+        flash_attention_with_lse(
+            q, k[:, :, :128], v[:, :, :128], causal=True, interpret=True
+        )
+
+
 def test_causal_tq_gt_tk_rejected():
     q, k, v = _rand_qkv(jax.random.PRNGKey(8), 1, 1, 256, 64)
     with pytest.raises(AssertionError, match="Tq <= Tk"):

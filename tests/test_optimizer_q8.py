@@ -252,3 +252,54 @@ def test_int8_recipe_through_workload(tmp_path, monkeypatch):
             if row["phase"] == "train"
         ]
     assert len(losses) == 6 and np.all(np.isfinite(losses)), losses
+
+
+def test_convert_moments_formats_and_values():
+    """convert_moments (resume under a different --opt-state-dtype) must
+    re-encode values into the configured storage: fp32 <-> bf16 <-> int8
+    blocks, v's int8 form on the sqrt grid, same-format passthrough
+    untouched, frozen leaves as scalar placeholders."""
+    from gpt2_vision_language_tpu.train.optimizer import convert_moments
+
+    rng = np.random.RandomState(0)
+    params = {
+        "w": jnp.asarray(rng.randn(512, 256), jnp.float32),  # q8-eligible
+        "b": jnp.asarray(rng.randn(64), jnp.float32),        # too small
+    }
+    m32 = jax.tree.map(lambda p: jnp.asarray(
+        np.random.RandomState(1).standard_normal(p.shape), jnp.float32), params)
+    v32 = jax.tree.map(lambda p: jnp.asarray(
+        np.random.RandomState(2).standard_normal(p.shape) ** 2, jnp.float32),
+        params)
+    st = {"m": m32, "v": v32, "step": jnp.int32(7)}
+
+    q8 = convert_moments(params, st, jnp.int8)
+    assert isinstance(q8["m"]["w"], dict) and isinstance(q8["v"]["w"], dict)
+    assert q8["m"]["b"].dtype == jnp.float32  # ineligible leaf stays fp32
+    assert int(q8["step"]) == 7
+    mw = q8_dequantize(q8["m"]["w"], (512, 256))
+    np.testing.assert_allclose(np.asarray(mw), np.asarray(m32["w"]),
+                               atol=float(jnp.abs(m32["w"]).max()) / 100)
+    vw = q8_dequantize(q8["v"]["w"], (512, 256)) ** 2  # sqrt grid
+    np.testing.assert_allclose(np.asarray(vw), np.asarray(v32["w"]),
+                               atol=float(v32["w"].max()) / 25)
+
+    # passthrough: same format -> the very same leaves, no requant loss
+    again = convert_moments(params, q8, jnp.int8)
+    assert again["m"]["w"] is q8["m"]["w"] and again["v"]["w"] is q8["v"]["w"]
+
+    # int8 -> fp32 round trip recovers values to quantization error
+    back = convert_moments(params, q8, None)
+    assert back["m"]["w"].dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(back["v"]["w"]),
+                               np.asarray(vw), rtol=1e-6)
+
+    # fp32 -> bf16 cast path
+    b16 = convert_moments(params, st, jnp.bfloat16)
+    assert b16["m"]["w"].dtype == jnp.bfloat16
+    assert b16["v"]["b"].dtype == jnp.bfloat16
+
+    # frozen leaves become scalar placeholders
+    froz = convert_moments(params, st, jnp.int8,
+                           trainable_mask={"w": False, "b": True})
+    assert froz["m"]["w"].shape == () and froz["v"]["w"].shape == ()

@@ -4,6 +4,7 @@ import dataclasses
 import json
 import os
 
+import jax
 import numpy as np
 import pytest
 
@@ -240,7 +241,7 @@ def test_pretrain_val_disabled(tiny_cfg, tmp_path):
 
 
 def test_pretrain_resume(tiny_cfg):
-    """Kill after 6 steps, resume must continue from step 7 with state."""
+    """Kill after 6 steps, resume must re-run the saved step and continue."""
     from gpt2_vision_language_tpu.train.pretrain import run_pretrain
 
     run_pretrain(tiny_cfg, policy=FP32_POLICY, num_devices=1)
@@ -250,8 +251,31 @@ def test_pretrain_resume(tiny_cfg):
     )
     out = run_pretrain(cfg2, policy=FP32_POLICY, num_devices=1)
     assert np.isfinite(out["val_loss"])
-    # Reference semantics (train_gpt2.py:319-325,363-375): the rolling ckpt is
-    # written in the val block BEFORE that step trains, and resume starts at
-    # step+1 — so the checkpointed step's own update is skipped on resume.
-    # First run: ckpt at step 5 holds 5 updates; resume runs steps 6,7 -> 7.
-    assert int(out["opt_state"]["step"]) == 7
+    # The rolling ckpt is written at the TOP of iteration s (before that
+    # step's update), so the saved step is the next one to RUN: the first
+    # run's ckpt at step 5 holds 5 updates, resume runs steps 5,6,7 -> 8.
+    # (The reference resumes at step+1 and silently drops one update —
+    # train_gpt2.py:323 vs its save at :363-375 — deliberately fixed here.)
+    assert int(out["opt_state"]["step"]) == 8
+
+
+def test_resume_matches_uninterrupted(tiny_cfg, tmp_path):
+    """A crash + resume must reproduce the uninterrupted trajectory
+    EXACTLY: same resume step (no reference off-by-one) and same data
+    (loader seek — the reference restarts its loader at shard 0 and
+    re-trains the early corpus)."""
+    from gpt2_vision_language_tpu.train.pretrain import run_pretrain
+
+    cfg_a = dataclasses.replace(tiny_cfg, log_dir=str(tmp_path / "log_a"))
+    out_a = run_pretrain(cfg_a, policy=FP32_POLICY, num_devices=1)
+
+    cfg_b = dataclasses.replace(tiny_cfg, log_dir=str(tmp_path / "log_b"))
+    # interrupted at 3 steps (same LR schedule: override, not cfg)
+    run_pretrain(cfg_b, policy=FP32_POLICY, num_devices=1, max_steps_override=3)
+    out_b = run_pretrain(cfg_b, policy=FP32_POLICY, num_devices=1)
+
+    assert int(out_b["opt_state"]["step"]) == int(out_a["opt_state"]["step"])
+    for a, b in zip(
+        jax.tree.leaves(out_a["params"]), jax.tree.leaves(out_b["params"])
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
