@@ -154,6 +154,7 @@ class CheckpointManager:
         self.is_master = is_master
         self.enabled = enabled
         self._inflight = {}  # path -> last writer thread (ordering)
+        self._async_error = None  # first background write failure
         if is_master and enabled:
             os.makedirs(ckpt_dir, exist_ok=True)
 
@@ -174,16 +175,32 @@ class CheckpointManager:
             # snapshot can never land after a newer one
             if prev is not None:
                 prev.join()
-            save_checkpoint(path, host_tree, meta)
+            try:
+                save_checkpoint(path, host_tree, meta)
+            except BaseException as e:  # noqa: BLE001 — re-raised on the
+                # training thread below: a daemon thread's traceback alone
+                # would let a run finish "successfully" with hours of state
+                # silently unsaved (e.g. ENOSPC mid-run)
+                if self._async_error is None:
+                    self._async_error = e
 
         th = threading.Thread(target=run, daemon=True)
         th.start()
         self._inflight[path] = th
 
+    def _raise_async_error(self):
+        if self._async_error is not None:
+            e, self._async_error = self._async_error, None
+            raise RuntimeError(
+                "async checkpoint write failed (checkpoints on disk are "
+                "stale); see chained exception"
+            ) from e
+
     def wait(self):
         for t in list(self._inflight.values()):
             t.join()
         self._inflight = {}
+        self._raise_async_error()
 
     @property
     def last_path(self) -> str:
@@ -248,6 +265,7 @@ class CheckpointManager:
         (train_gpt2.py:363-391)."""
         if not self.enabled:
             return
+        self._raise_async_error()  # surface a failed background write NOW
         m = dict(meta or {})
         m.update({"step": step, "val_loss": float(val_loss)})
         rolling = (

@@ -142,7 +142,17 @@ class CocoBatcher:
         self.drop_last = drop_last
         self.rank = rank
         self.world = world
+        assert len(dataset) >= world, (
+            f"dataset of {len(dataset)} rows cannot stride across "
+            f"{world} processes (rank {rank} would spin forever on an "
+            "empty epoch order)"
+        )
         self.rng = np.random.RandomState(seed)
+        # caption draws ride their own stream so reset() can restore it:
+        # a validation batcher then scores the SAME caption per image on
+        # every eval (val-loss deltas measure the model, not draw noise)
+        self._cap_seed = seed ^ 0x5A5A
+        self.cap_rng = np.random.RandomState(self._cap_seed)
         self._base = np.arange(len(dataset))
         self._pos = 0
         self._new_epoch()
@@ -154,8 +164,13 @@ class CocoBatcher:
         self._pos = 0
 
     def reset(self):
-        """Rewind to the current epoch's start (no reshuffle)."""
+        """Rewind to the current epoch's start (no reshuffle) AND restore
+        the caption-draw stream, so a validation pass scores identical
+        (image, caption) pairs every time. (The streaming next_batch path
+        draws inside the dataset and is not made reproducible here — the
+        finetune workload validates through next_index_batch.)"""
         self._pos = 0
+        self.cap_rng = np.random.RandomState(self._cap_seed)
 
     def steps_per_epoch(self) -> int:
         n = len(self._order)
@@ -197,7 +212,7 @@ class CocoBatcher:
         xs, ys, ms = [], [], []
         for i in idxs:
             caps = self.ds.coco[int(i)]
-            text = self.ds.rng.choice(caps)
+            text = self.cap_rng.choice(caps)
             x, y, m = encode_caption(text, self.ds.tokenizer, self.ds.max_len)
             xs.append(x)
             ys.append(y)
@@ -237,7 +252,6 @@ def build_pooled_feature_bank(
     per_shard = {}
     for i, e in enumerate(dataset.index):
         per_shard.setdefault(e["shard"], []).append((i, e["row"]))
-    out_rows = [None] * len(dataset.index)
     chunks = []
     order = []
     for shard, entries in sorted(per_shard.items()):
@@ -250,9 +264,15 @@ def build_pooled_feature_bank(
             chunks.append(pooled if dtype is None else pooled.astype(dtype))
             order.extend(i for i, _ in entries[s : s + chunk])
     bank = jnp.concatenate(chunks, axis=0)
-    # reorder to dataset index order
+    # free the per-chunk arrays BEFORE any reorder: peak device memory is
+    # then ~2x the bank (concat inputs+output; gather in+out), never 3x —
+    # at full COCO (6 GB bank) 3x would not fit a 16 GB chip
+    chunks.clear()
+    order = np.asarray(order)
+    if np.array_equal(order, np.arange(len(order))):
+        return bank  # index.json already in shard order: no gather needed
     inv = np.empty(len(order), np.int32)
-    inv[np.asarray(order)] = np.arange(len(order))
+    inv[order] = np.arange(len(order))
     return bank[jnp.asarray(inv)]
 
 

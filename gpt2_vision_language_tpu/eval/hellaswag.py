@@ -21,7 +21,6 @@ no network), and a TPU-native scorer:
 
 from __future__ import annotations
 
-import functools
 import json
 import os
 from typing import Iterator, Optional
@@ -142,6 +141,10 @@ class HellaSwagEvaluator:
         (correct, total) across processes."""
         tok_buf, mask_buf, labels = [], [], []
         correct = total = 0
+        # per-eval counter: the evaluator is reused across the training
+        # run, and a cumulative count would over-report in every warning
+        # after the first eval
+        self.skipped_too_long = 0
         lockstep = world_size > 1
 
         def flush():

@@ -15,7 +15,6 @@ Decoder tracks `slot` and `pos` separately to reproduce this exactly.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional
 
 import jax
@@ -40,15 +39,14 @@ class Decoder:
         self.cfg = cfg
         self.policy = policy
         self.sample_fn = sample_fn
-        self._prefill = jax.jit(self._prefill_impl, static_argnames=("with_pos",))
+        self._prefill = jax.jit(self._prefill_impl)
         self._decode_loop = jax.jit(
             self._decode_loop_impl, static_argnames=("num_steps",)
         )
 
     # -- prefill ------------------------------------------------------------
 
-    def _prefill_impl(self, params, embeds, cache, slot, z, *, with_pos):
-        del with_pos
+    def _prefill_impl(self, params, embeds, cache, slot, z):
         logits, cache = gpt2.forward_cached(
             params, embeds, self.cfg, cache, slot, z=z, policy=self.policy
         )
@@ -58,12 +56,12 @@ class Decoder:
         """Embed ids with positions pos_offset.. and prefill at `slot`."""
         embeds = gpt2.embed_tokens(params, ids, self.cfg, pos_offset=pos_offset)
         embeds = embeds.astype(self.policy.compute_dtype)
-        return self._prefill(params, embeds, cache, slot, z, with_pos=True)
+        return self._prefill(params, embeds, cache, slot, z)
 
     def prefill_embeds(self, params, embeds, cache, slot, z=None):
         """Prefill raw embeddings (visual prefix: no positional embeddings)."""
         embeds = embeds.astype(self.policy.compute_dtype)
-        return self._prefill(params, embeds, cache, slot, z, with_pos=False)
+        return self._prefill(params, embeds, cache, slot, z)
 
     # -- decode loop ----------------------------------------------------------
 

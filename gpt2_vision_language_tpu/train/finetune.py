@@ -271,6 +271,14 @@ def run_finetune(
         # every process (collective gather for model-parallel shardings;
         # master-only write — see CheckpointManager.is_master)
         manager.save_step(step, params, opt_state, val_loss, last_step=last_step)
+        # cider_every gates the expensive generation eval independently of
+        # the val loss (0 disables; the reference couples both at 20 steps,
+        # gpt2_linear/train.py:218-273). The same-condition-on-every-process
+        # rule below still holds: the gate is pure host arithmetic.
+        if not (
+            cfg.cider_every and (step % cfg.cider_every == 0 or last_step)
+        ):
+            return
         # CIDEr runs on EVERY process: the jitted decode reads the global
         # (non-addressable on multi-host) params, so skipping it on
         # non-master processes would deadlock the next collective program.
@@ -309,7 +317,8 @@ def run_finetune(
     for step in range(max_steps):
         t0 = time.time()
         last_step = step == max_steps - 1
-        if step % cfg.val_every == 0 or last_step:
+        # val_every=0 disables validation (same convention as pretrain)
+        if cfg.val_every and (step % cfg.val_every == 0 or last_step):
             run_validation(step, last_step)
 
         batch = prefetch.next()

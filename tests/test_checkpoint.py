@@ -5,6 +5,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gpt2_vision_language_tpu.ckpt.checkpoint import (
     CheckpointManager,
@@ -148,3 +149,27 @@ def test_save_every_zero_suppresses_rolling(tmp_path):
     m.save_step(5, params, opt, val_loss=1.0, last_step=False)  # best
     m.wait()
     assert os.path.exists(m.best_path) and not os.path.exists(m.last_path)
+
+
+def test_async_write_failure_surfaces(tmp_path, monkeypatch):
+    """A failed background checkpoint write must raise on the training
+    thread (next save_step or wait), not scroll by on stderr while the
+    run finishes 'successfully' with stale checkpoints."""
+    import gpt2_vision_language_tpu.ckpt.checkpoint as ck
+
+    m = CheckpointManager(str(tmp_path), save_every=1)
+    params = {"w": jnp.zeros((4,))}
+    opt = {"m": jnp.zeros((4,)), "step": jnp.int32(0)}
+
+    def boom(*a, **k):
+        raise OSError(28, "No space left on device")
+
+    monkeypatch.setattr(ck, "save_checkpoint", boom)
+    m.save_step(1, params, opt, val_loss=1.0, last_step=False)
+    with pytest.raises(RuntimeError, match="async checkpoint write failed"):
+        m.wait()
+    # the error is consumed once; the manager is usable again
+    monkeypatch.undo()
+    m.save_step(2, params, opt, val_loss=0.5, last_step=False)
+    m.wait()
+    assert os.path.exists(m.last_path)

@@ -108,3 +108,43 @@ def test_xattn_freeze_mask(coco_root, tmp_path):
     assert not np.allclose(
         np.asarray(after["vis_proj"]["w"]), np.asarray(before["vis_proj"]["w"])
     )
+
+
+def test_bank_build_reorder_and_val_caption_stability(coco_root):
+    """(1) build_pooled_feature_bank must return rows in dataset-index
+    order even when index.json interleaves shards (the no-gather fast path
+    only applies to already-sorted indices); (2) a reset() validation
+    batcher must draw the SAME captions every eval (model_best must not be
+    won by caption-draw noise)."""
+    import jax.numpy as jnp
+
+    from gpt2_vision_language_tpu.data.coco import (
+        CocoBatcher,
+        CocoClipTokensDataset,
+        build_pooled_feature_bank,
+    )
+    from gpt2_vision_language_tpu.data.tokenizer import get_tokenizer
+
+    ds = CocoClipTokensDataset(
+        os.path.join(coco_root, "clip_feats", "train"),
+        os.path.join(coco_root, "annotations", "captions_train2017.json"),
+        get_tokenizer(),
+        max_len=16,
+    )
+    # force a non-trivial reorder: reverse the index
+    ds.index = list(reversed(ds.index))
+    pool = lambda z: z[:, :5, :]  # cheap stand-in "pooling"
+    bank = np.asarray(build_pooled_feature_bank(ds, pool))
+    for i in [0, 7, len(ds) - 1]:
+        np.testing.assert_allclose(
+            bank[i], ds.features(i)[:5], rtol=1e-6,
+            err_msg=f"bank row {i} not in dataset order",
+        )
+
+    vb = CocoBatcher(ds, 4, shuffle=False, seed=3)
+    vb.reset()
+    first = vb.next_index_batch()
+    vb.reset()
+    second = vb.next_index_batch()
+    np.testing.assert_array_equal(first[0], second[0])  # same caption ids
+    np.testing.assert_array_equal(first[3], second[3])  # same image rows
