@@ -1,0 +1,199 @@
+"""AOT HBM probe for the 1558M single-chip recipe (no execution, no wedge).
+
+Builds the EXACT attempt-5 state (bf16 params, int8 moments, bf16 SR grad
+accumulators, pinned layouts, split_accum) the way train/pretrain.py does,
+then lowers + compiles the accum-chunk and optimizer-update programs and
+prints each executable's memory_analysis() — argument/output/temp/alias
+bytes — plus the resident-state total. Nothing is ever dispatched to the
+device except the state allocation itself (~8.8 GiB, fits alone), so a
+config that would OOM at runtime can be diagnosed without wedging the
+tunneled chip (verify skill: a device-side runtime OOM wedges it 30+ min).
+
+Usage: python tools/mem_probe_1558m.py [--micro-batch 1] [--chunk 4]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+
+
+def gib(n: int) -> str:
+    return f"{n / (1 << 30):.3f} GiB"
+
+
+def devmem(tag: str) -> None:
+    """Live device HBM counters, if the backend exposes them."""
+    try:
+        ms = jax.local_devices()[0].memory_stats()
+    except Exception as e:  # axon tunnel may not forward stats
+        print(f"[mem:{tag}] memory_stats unavailable: {e}")
+        return
+    if not ms:
+        print(f"[mem:{tag}] memory_stats empty")
+        return
+    keys = (
+        "bytes_in_use",
+        "peak_bytes_in_use",
+        "bytes_reserved",
+        "largest_free_block_bytes",
+        "bytes_limit",
+    )
+    parts = [f"{k}={gib(ms[k])}" for k in keys if k in ms]
+    extra = [k for k in ms if k not in keys]
+    print(f"[mem:{tag}] " + "  ".join(parts) + (f"  (+{extra})" if extra else ""))
+
+
+def analyze(name: str, compiled) -> int:
+    ma = compiled.memory_analysis()
+    if ma is None:
+        print(f"[{name}] memory_analysis unavailable")
+        return 0
+    arg = ma.argument_size_in_bytes
+    out = ma.output_size_in_bytes
+    tmp = ma.temp_size_in_bytes
+    alias = ma.alias_size_in_bytes
+    print(
+        f"[{name}] arg {gib(arg)}  out {gib(out)}  alias {gib(alias)}  "
+        f"TEMP {gib(tmp)}  (arg+out-alias+temp = "
+        f"{gib(arg + out - alias + tmp)})"
+    )
+    return tmp
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--micro-batch", type=int, default=1)
+    p.add_argument("--chunk", type=int, default=4)
+    p.add_argument("--model", default="1558M")
+    p.add_argument(
+        "--cpu",
+        action="store_true",
+        help="pin the CPU backend (wiring smoke test; use --model 124M)",
+    )
+    args = p.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from gpt2_vision_language_tpu.core.config import (
+        GPT2_124M,
+        GPT2_350M,
+        GPT2_774M,
+        GPT2_1558M,
+        PretrainConfig,
+    )
+    from gpt2_vision_language_tpu.core.precision import DEFAULT_POLICY
+    from gpt2_vision_language_tpu.models import gpt2
+    from gpt2_vision_language_tpu.data.fineweb import split_rows_on_device
+    from gpt2_vision_language_tpu.parallel.mesh import make_mesh, shard_batch
+    from gpt2_vision_language_tpu.train.optimizer import adamw_init
+    from gpt2_vision_language_tpu.train.step import (
+        make_train_step,
+        default_formats,
+    )
+
+    preset = {
+        "124M": GPT2_124M,
+        "350M": GPT2_350M,
+        "774M": GPT2_774M,
+        "1558M": GPT2_1558M,
+    }[args.model]
+    cfg = PretrainConfig()
+    model_cfg = preset
+    accum = cfg.total_batch_size // (args.micro_batch * cfg.seq_len)
+    print(
+        f"model {args.model}  B={args.micro_batch}  accum={accum}  "
+        f"chunk={args.chunk}  dev={jax.devices()[0]}"
+    )
+
+    mesh = make_mesh()
+    policy = DEFAULT_POLICY
+
+    def loss_fn(params, micro):
+        x, y = split_rows_on_device(micro["rows"])
+        return gpt2.loss(
+            params, x, model_cfg, targets=y, policy=policy, remat=True
+        )
+
+    def _build_params():
+        p0 = gpt2.init(jax.random.PRNGKey(42), model_cfg)
+        return jax.tree.map(lambda x: x.astype(jnp.bfloat16), p0)
+
+    devmem("boot")
+    params = jax.jit(_build_params)()
+    jax.block_until_ready(jax.tree.leaves(params)[0])
+    devmem("post-init (init executable still loaded)")
+    jax.clear_caches()
+    devmem("post-clear_caches")
+    opt_state = adamw_init(params, state_dtype=jnp.dtype("int8"))
+
+    psz = sum(x.nbytes for x in jax.tree.leaves(params))
+    osz = sum(
+        x.nbytes for x in jax.tree.leaves(opt_state) if hasattr(x, "nbytes")
+    )
+    print(f"resident: params {gib(psz)}  opt_state {gib(osz)}")
+
+    pf = default_formats(params)
+    io_formats = (pf, default_formats(opt_state))
+    train_step = make_train_step(
+        loss_fn,
+        cfg.optimizer,
+        cfg.schedule,
+        decay_mask=gpt2.decay_mask(params),
+        grad_accum_dtype="bfloat16",
+        nan_guard=False,
+        io_formats=io_formats,
+        split_accum=args.chunk,
+    )
+
+    carry = train_step.debug_init_carry(params)
+    gsz = sum(x.nbytes for x in jax.tree.leaves(carry[0]))
+    print(f"resident: gsum {gib(gsz)}  total state {gib(psz + osz + gsz)}")
+    devmem("post-state")
+
+    rows = shard_batch(
+        mesh,
+        {
+            "rows": jnp.zeros(
+                (accum, args.micro_batch, cfg.seq_len + 1), jnp.uint16
+            )
+        },
+        leading_accum_axis=True,
+    )
+    step_idx = jnp.int32(0)
+    start = jnp.int32(0)
+
+    print("lowering update program...", flush=True)
+    upd = train_step.debug_update_jit.lower(
+        params, opt_state, carry, step_idx, jnp.float32(1.0 / accum)
+    ).compile()
+    t2 = analyze("update", upd)
+    devmem("post-update-load")
+
+    print("lowering accum program...", flush=True)
+    accum_jit = train_step.debug_get_accum_jit(args.chunk)
+    try:
+        c1 = accum_jit.lower(params, carry, rows, step_idx, start).compile()
+    except Exception as e:
+        devmem("accum-load-FAILED")
+        raise SystemExit(f"accum compile/load failed: {e}")
+    t1 = analyze("accum", c1)
+    devmem("post-accum-load")
+
+    state = psz + osz + gsz
+    # arenas COEXIST once both executables are loaded (ROUND_NOTES: the
+    # eval executable's arena alone made the update dispatch OOM), so the
+    # honest runtime peak is state + sum(arenas), not state + max(arenas)
+    print(
+        f"TOTAL peak estimate: state {gib(state)} + arenas "
+        f"{gib(t1 + t2)} = {gib(state + t1 + t2)} (budget ~15.75 GiB)"
+    )
+
+
+if __name__ == "__main__":
+    main()
