@@ -70,6 +70,12 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--micro-batch", type=int, default=1)
     p.add_argument("--chunk", type=int, default=4)
+    p.add_argument(
+        "--sweep",
+        default="",
+        help="semicolon list of B,chunk pairs to probe in one process "
+        "(e.g. '1,1;1,2;2,1'); overrides --micro-batch/--chunk",
+    )
     p.add_argument("--model", default="1558M")
     p.add_argument(
         "--cpu",
@@ -105,11 +111,15 @@ def main() -> None:
     }[args.model]
     cfg = PretrainConfig()
     model_cfg = preset
-    accum = cfg.total_batch_size // (args.micro_batch * cfg.seq_len)
-    print(
-        f"model {args.model}  B={args.micro_batch}  accum={accum}  "
-        f"chunk={args.chunk}  dev={jax.devices()[0]}"
-    )
+    if args.sweep:
+        combos = [
+            tuple(int(v) for v in pair.split(","))
+            for pair in args.sweep.split(";")
+            if pair
+        ]
+    else:
+        combos = [(args.micro_batch, args.chunk)]
+    print(f"model {args.model}  combos={combos}  dev={jax.devices()[0]}")
 
     mesh = make_mesh()
     policy = DEFAULT_POLICY
@@ -156,43 +166,45 @@ def main() -> None:
     print(f"resident: gsum {gib(gsz)}  total state {gib(psz + osz + gsz)}")
     devmem("post-state")
 
-    rows = shard_batch(
-        mesh,
-        {
-            "rows": jnp.zeros(
-                (accum, args.micro_batch, cfg.seq_len + 1), jnp.uint16
-            )
-        },
-        leading_accum_axis=True,
-    )
     step_idx = jnp.int32(0)
     start = jnp.int32(0)
 
     print("lowering update program...", flush=True)
     upd = train_step.debug_update_jit.lower(
-        params, opt_state, carry, step_idx, jnp.float32(1.0 / accum)
+        params, opt_state, carry, step_idx, jnp.float32(1.0 / 512)
     ).compile()
     t2 = analyze("update", upd)
     devmem("post-update-load")
 
-    print("lowering accum program...", flush=True)
-    accum_jit = train_step.debug_get_accum_jit(args.chunk)
-    try:
-        c1 = accum_jit.lower(params, carry, rows, step_idx, start).compile()
-    except Exception as e:
-        devmem("accum-load-FAILED")
-        raise SystemExit(f"accum compile/load failed: {e}")
-    t1 = analyze("accum", c1)
-    devmem("post-accum-load")
-
     state = psz + osz + gsz
-    # arenas COEXIST once both executables are loaded (ROUND_NOTES: the
-    # eval executable's arena alone made the update dispatch OOM), so the
-    # honest runtime peak is state + sum(arenas), not state + max(arenas)
-    print(
-        f"TOTAL peak estimate: state {gib(state)} + arenas "
-        f"{gib(t1 + t2)} = {gib(state + t1 + t2)} (budget ~15.75 GiB)"
-    )
+    for mb, chunk in combos:
+        accum = cfg.total_batch_size // (mb * cfg.seq_len)
+        rows = shard_batch(
+            mesh,
+            {"rows": jnp.zeros((accum, mb, cfg.seq_len + 1), jnp.uint16)},
+            leading_accum_axis=True,
+        )
+        tag = f"accum B={mb} chunk={chunk}"
+        print(f"lowering {tag} (accum={accum})...", flush=True)
+        accum_jit = train_step.debug_get_accum_jit(chunk)
+        try:
+            c1 = accum_jit.lower(
+                params, carry, rows, step_idx, start
+            ).compile()
+        except Exception as e:
+            devmem(f"{tag}-load-FAILED")
+            print(f"{tag} compile/load failed: {e}")
+            continue
+        t1 = analyze(tag, c1)
+        devmem(f"post-{tag}-load")
+        # arenas COEXIST once both executables are loaded (ROUND_NOTES:
+        # the eval executable's arena alone made the update dispatch
+        # OOM), so the honest runtime peak is state + sum(arenas), not
+        # state + max(arenas)
+        print(
+            f"TOTAL[{tag}]: state {gib(state)} + arenas "
+            f"{gib(t1 + t2)} = {gib(state + t1 + t2)} (budget ~15.75 GiB)"
+        )
 
 
 if __name__ == "__main__":
