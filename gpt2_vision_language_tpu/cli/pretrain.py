@@ -63,6 +63,20 @@ def main(argv=None):
         "--pin-layouts: fits 1558M's 0.5M-token batch on one 16GB chip). "
         "Numerically identical for every N, throughput equal to one-jit",
     )
+    p.add_argument(
+        "--sync-accum", nargs="?", type=int, const=1, default=0,
+        metavar="N",
+        help="host-sync the accum carry every N --split-accum dispatches "
+        "(default N=1) so at most one in-flight execution's temp arena "
+        "is resident — async-enqueued executions each reserve their own "
+        "arena and the overlap OOMs HBM-edge configs (1558M). 0 = async",
+    )
+    p.add_argument(
+        "--layerwise-grad", action="store_true",
+        help="stream per-layer grads into the accumulators (reverse-scan "
+        "VJP) instead of materializing the stacked grads tree — cuts the "
+        "accum program's temp arena ~4x at 1558M. tp=sp=1 only",
+    )
     p.add_argument("--save-every", type=int, default=None)
     p.add_argument(
         "--log-dir", default=None,
@@ -174,6 +188,10 @@ def main(argv=None):
         updates["pin_layouts"] = True
     if args.split_accum:
         updates["split_accum"] = args.split_accum
+    if args.sync_accum:
+        updates["sync_accum"] = args.sync_accum
+    if args.layerwise_grad:
+        updates["layerwise_grad"] = True
     if args.save_every is not None:
         updates["save_every"] = args.save_every
     if args.log_dir:

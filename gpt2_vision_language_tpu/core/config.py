@@ -192,6 +192,19 @@ class PretrainConfig:
     # to the one-jit step's throughput at 124M (async dispatches
     # pipeline); n just bounds Python dispatch work per step.
     split_accum: int = 0
+    # n > 0 host-syncs the accum carry every n split_accum dispatches so
+    # at most one in-flight execution's temp arena is resident at a time
+    # (train/step.py sync_every — async-enqueued executions each reserve
+    # their own arena; the overlap OOMs HBM-edge configs like 1558M).
+    # 0 = fully async (default; right everywhere with headroom).
+    sync_accum: int = 0
+    # Stream per-layer grads into the accumulators via the reverse-scan
+    # VJP (models/gpt2.py::loss_grad_layerwise) instead of materializing
+    # jax.grad's full stacked-grads tree inside the accum program — the
+    # tree is a 2.9 GiB bf16 temp at 1558M and the dominant term of the
+    # accum arena. Numerically identical chain rule (pinned by
+    # tests/test_layerwise_grad.py); requires tp=sp=1.
+    layerwise_grad: bool = False
     # "bfloat16" stores the MASTER PARAMS in bf16 — exactly the torch
     # reference's production mode on CUDA (model.to(bfloat16) + AdamW on
     # the bf16 params, train_gpt2.py:263-264). Our default keeps fp32

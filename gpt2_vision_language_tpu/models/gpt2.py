@@ -405,6 +405,106 @@ def loss(
     )
 
 
+def loss_grad_layerwise(
+    params,
+    idx,
+    cfg: GPTConfig,
+    *,
+    targets,
+    gsum,
+    acc,
+    target_mask=None,
+    policy: Policy = DEFAULT_POLICY,
+    attn_impl: str = "auto",
+    ce_chunks: int = 8,
+):
+    """Loss + gradients accumulated layer-by-layer into `gsum` — the full
+    stacked-grads tree is never materialized.
+
+    `jax.grad` of the scanned/unrolled decoder must return d(params) for
+    all L layers at once: at GPT-2 1558M that stacked tree is a 2.9 GiB
+    bf16 temp inside every grad-accumulation program — the dominant term
+    of the 4.05 GiB accum arena that kept the 0.5M-token single-chip step
+    from fitting 16 GB HBM next to 8.75 GiB of resident state (ROUND_NOTES
+    round-3 attempt ledger). Here the backward is written out as what the
+    chain rule actually is: a reverse `lax.scan` over layers whose carry
+    is (d_residual, gsum["blocks"]). Each iteration recomputes one block's
+    forward from its saved input residual (full remat by construction),
+    runs its VJP, and folds that single layer's gradients straight into
+    the donated accumulator slices via in-place dynamic-update-slice —
+    peak gradient temp = ONE layer (~60 MB at 1558M), not L.
+
+    Semantically identical to `value_and_grad(loss)` + accumulate: same
+    per-layer VJPs in the same order, and the slice adds commute with the
+    stacked-tree add (pinned by tests/test_layerwise_grad.py). `acc` is
+    the accumulator adapter built by train/step.py (fp32 adds, or
+    stochastic-rounded bf16 keyed per (step, micro, leaf, layer)).
+
+    Plain decoder only (the reference's pretrain workload,
+    train_gpt2.py:456-476); the cross-attention variants freeze the
+    decoder and never carry billion-parameter grad trees.
+    """
+    assert not cfg.cross_attention, "layerwise grad: plain decoder only"
+    assert idx.shape[-1] <= cfg.block_size
+
+    def embed_fn(wte, wpe):
+        t = idx.shape[-1]
+        pos = jnp.arange(t)
+        return (embed(wte, idx) + embed(wpe, pos)).astype(policy.compute_dtype)
+
+    x0, embed_vjp = jax.vjp(embed_fn, params["wte"], params["wpe"])
+
+    def blk(lp, x):
+        return block(lp, x, None, cfg, policy=policy, attn_impl=attn_impl)
+
+    def fwd_body(x, lp):
+        return blk(lp, x), x
+
+    # forward scan emitting each block's INPUT residual — the same
+    # (L, B, T, C) boundary stack full block remat saves (300 MB bf16 at
+    # 1558M/B=2), written incrementally into one buffer by scan's ys
+    xL, x_saved = jax.lax.scan(fwd_body, x0, params["blocks"])
+
+    def tail_fn(x, wte, lnf):
+        xn = layer_norm(x, lnf["scale"], lnf["bias"])
+        return fused_ce_loss(
+            xn, wte, targets, mask=target_mask, policy=policy,
+            ce_chunks=ce_chunks,
+        )
+
+    loss, tail_vjp = jax.vjp(tail_fn, xL, params["wte"], params["lnf"])
+    dxL, dwte_head, dlnf = tail_vjp(jnp.ones_like(loss))
+
+    def bwd_body(carry, xs):
+        dx, gb = carry
+        lp, x_in, i = xs
+        _, vjp_fn = jax.vjp(blk, lp, x_in)
+        g_lp, dx_prev = vjp_fn(dx)
+        return (dx_prev, acc.block_slice_add(gb, g_lp, i)), None
+
+    (dx0, gblocks), _ = jax.lax.scan(
+        bwd_body,
+        (dxL, gsum["blocks"]),
+        (params["blocks"], x_saved, jnp.arange(cfg.n_layer)),
+        reverse=True,
+    )
+    dwte_embed, dwpe = embed_vjp(dx0)
+    # tied wte: unembedding grad (fused CE VJP) + embedding scatter grad,
+    # summed in fp32 before the single accumulate
+    d_other = {
+        "wte": dwte_head.astype(jnp.float32) + dwte_embed.astype(jnp.float32),
+        "wpe": dwpe,
+        "lnf": dlnf,
+    }
+    g_other = acc.tree_add(
+        {k: gsum[k] for k in ("wte", "wpe", "lnf")}, d_other
+    )
+    new = dict(gsum)
+    new["blocks"] = gblocks
+    new.update(g_other)
+    return loss, new
+
+
 def fused_ce_loss(x, wte, targets, *, mask=None, policy=DEFAULT_POLICY, ce_chunks=8):
     """Masked-mean fused CE over final hiddens x (..., T, D) (shared by the
     decoder and the caption wrapper)."""

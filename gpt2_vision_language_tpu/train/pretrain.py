@@ -168,6 +168,24 @@ def run_pretrain(
 
         pf = default_formats(params)
         io_formats = (pf, default_formats(opt_state))
+    layerwise_fn = None
+    if cfg.layerwise_grad:
+        # stream per-layer grads into the accumulators (reverse-scan VJP,
+        # models/gpt2.py::loss_grad_layerwise): cuts the accum program's
+        # temp arena from ~4.05 GiB to ~1 GiB at 1558M by never
+        # materializing the stacked grads tree. Single-chip knob; the
+        # reverse scan has no sharding annotations for tp/sp yet.
+        assert cfg.tp == 1 and not cfg.seq_parallel, (
+            "layerwise_grad: tp=1, no seq_parallel"
+        )
+
+        def layerwise_fn(lw_params, micro, gsum, acc):
+            x, y = split_rows_on_device(micro["rows"])
+            return gpt2.loss_grad_layerwise(
+                lw_params, x, model_cfg, targets=y, gsum=gsum, acc=acc,
+                policy=policy, attn_impl=cfg.attn_impl,
+            )
+
     train_step = make_train_step(
         loss_fn,
         cfg.optimizer,
@@ -177,6 +195,8 @@ def run_pretrain(
         nan_guard=cfg.nan_guard,
         io_formats=io_formats,
         split_accum=cfg.split_accum,
+        sync_every=cfg.sync_accum,
+        layerwise_loss_grad=layerwise_fn,
     )
     eval_step = make_eval_step(loss_fn, params_formats=pf)
 

@@ -99,6 +99,8 @@ def make_train_step(
     nan_guard: bool = True,
     io_formats=None,
     split_accum: bool = False,
+    sync_every: int = 0,
+    layerwise_loss_grad=None,
 ):
     """Build `step(params, opt_state, batch, step_idx) -> (params, opt_state,
     metrics)`.
@@ -140,6 +142,16 @@ def make_train_step(
     step's zeroed accumulator carry (aliasing the donated gsum), so
     steps after the first skip the ~150-leaf init dispatch. The returned
     callable has the same signature but is not itself a jax.jit object.
+
+    sync_every (split_accum only): host-sync the loss carry every N accum
+    dispatches, bounding how many in-flight executions the runtime holds
+    at once. Async-enqueued executions each reserve their own temp arena,
+    so ≥2 in flight doubles the accum arena; at HBM-edge configs (1558M:
+    8.75 GiB state + 4.06 GiB arena) the overlap is the difference
+    between fitting and a device-side OOM. The sync reads back one f32
+    scalar (float(), the only true sync through the axon tunnel —
+    block_until_ready returns early there). 0 = never (full async
+    pipelining, the right default everywhere with headroom).
     """
     accum_dt = jnp.dtype(grad_accum_dtype) if grad_accum_dtype else jnp.float32
     use_sr = accum_dt == jnp.bfloat16
@@ -233,6 +245,79 @@ def make_train_step(
         ]
         return jax.tree_util.tree_unflatten(tdef, flat_a)
 
+    if layerwise_loss_grad is not None:
+        assert trainable_mask is None, (
+            "layerwise_loss_grad accumulates every leaf; freeze masks are "
+            "the finetune paths', which don't carry billion-param grads"
+        )
+
+    def make_acc(step_idx, midx):
+        """Accumulator adapter for models/gpt2.py::loss_grad_layerwise.
+
+        block_slice_add folds ONE layer's grads into the (L, ...) stacked
+        accumulator leaves at slice i — dynamic-update-slice on the scan
+        carry, so XLA updates the donated gsum buffers in place and no
+        stacked grads tree ever exists. tree_add handles the non-block
+        leaves (wte/wpe/lnf) through the shared `accumulate` (identical
+        SR chunking/keys to the standard path). SR keys: block leaves use
+        salt 4096+n per leaf then fold in the layer index; `accumulate`
+        salts its subtree 0..k — disjoint by construction."""
+        base = (
+            jax.random.fold_in(
+                jax.random.fold_in(jax.random.PRNGKey(0x5EED), step_idx),
+                midx,
+            )
+            if use_sr
+            else None
+        )
+
+        class Acc:
+            @staticmethod
+            def block_slice_add(gb, g_lp, i):
+                flat_a, tdef = jax.tree_util.tree_flatten(gb)
+                flat_g = jax.tree_util.tree_leaves(g_lp)
+                out = []
+                for n, (a, g) in enumerate(zip(flat_a, flat_g)):
+                    cur = jax.lax.dynamic_index_in_dim(
+                        a, i, 0, keepdims=False
+                    )
+                    s = cur.astype(jnp.float32) + g.astype(jnp.float32)
+                    if use_sr:
+                        k = jax.random.fold_in(
+                            jax.random.fold_in(base, 4096 + n), i
+                        )
+                        upd = stochastic_round_bf16(s, k)
+                    else:
+                        upd = s
+                    out.append(
+                        jax.lax.dynamic_update_index_in_dim(a, upd, i, 0)
+                    )
+                return jax.tree_util.tree_unflatten(tdef, out)
+
+            @staticmethod
+            def tree_add(gsub, dsub):
+                tm = jax.tree.map(lambda _: True, gsub)
+                return accumulate(gsub, dsub, tm, step_idx, midx)
+
+        return Acc
+
+    def micro_grads_into(gsum, lsum, params, micro, step_idx, midx, extra):
+        """One micro-batch's (loss, grads) folded into the accumulators —
+        layerwise streaming when configured, value_and_grad otherwise."""
+        if layerwise_loss_grad is not None:
+            assert extra is None, "layerwise grad does not support `extra`"
+            loss, gsum = layerwise_loss_grad(
+                params, micro, gsum, make_acc(step_idx, midx)
+            )
+        else:
+            loss, grads = jax.value_and_grad(
+                lambda p, m: wrapped_loss(p, m, extra)
+            )(params, micro)
+            gsum = accumulate(
+                gsum, grads, tmask_for(params), step_idx, midx
+            )
+        return gsum, lsum + loss
+
     def gzero_for(params, tmask):
         # frozen leaves carry scalar placeholders, not (shape) fp32 buffers:
         # the frozen 124M decoder in finetunes costs 0 grad-accumulator HBM
@@ -287,22 +372,18 @@ def make_train_step(
         return new_params, new_opt, metrics
 
     def step(params, opt_state, batch, step_idx, extra=None):
-        grad_fn = jax.value_and_grad(
-            lambda p, micro: wrapped_loss(p, micro, extra)
-        )
-        tmask = tmask_for(params)
-
         def body(carry, xs):
             micro, midx = xs
             gsum, lsum = carry
-            loss, grads = grad_fn(params, micro)
-            gsum = accumulate(gsum, grads, tmask, step_idx, midx)
-            return (gsum, lsum + loss), None
+            gsum, lsum = micro_grads_into(
+                gsum, lsum, params, micro, step_idx, midx, extra
+            )
+            return (gsum, lsum), None
 
         accum = jax.tree.leaves(batch)[0].shape[0]
         (gsum, lsum), _ = jax.lax.scan(
             body,
-            (gzero_for(params, tmask), jnp.float32(0.0)),
+            (gzero_for(params, tmask_for(params)), jnp.float32(0.0)),
             (batch, jnp.arange(accum, dtype=jnp.int32)),
         )
         return apply_update(
@@ -325,8 +406,6 @@ def make_train_step(
                 # slice each micro INSIDE the jit: the staged (accum, B,
                 # T+1) batch stays one resident device array across all
                 # dispatches
-                tmask = tmask_for(params)
-
                 def body(c, midx):
                     micro = jax.tree.map(
                         lambda x: jax.lax.dynamic_index_in_dim(
@@ -335,11 +414,10 @@ def make_train_step(
                         batch,
                     )
                     gsum, lsum = c
-                    loss, grads = jax.value_and_grad(wrapped_loss)(
-                        params, micro
+                    gsum, lsum = micro_grads_into(
+                        gsum, lsum, params, micro, step_idx, midx, None
                     )
-                    gsum = accumulate(gsum, grads, tmask, step_idx, midx)
-                    return (gsum, lsum + loss), None
+                    return (gsum, lsum), None
 
                 carry, _ = jax.lax.scan(
                     body, carry, start + jnp.arange(g, dtype=jnp.int32)
@@ -483,11 +561,13 @@ def make_train_step(
             if carry is None:
                 carry = init_carry(params)
             step_idx = jnp.asarray(step_idx, jnp.int32)
-            for start in range(0, accum, chunk):
+            for n, start in enumerate(range(0, accum, chunk), start=1):
                 g = min(chunk, accum - start)
                 carry = get_accum_jit(g)(
                     params, carry, batch, step_idx, stage(start, jnp.int32)
                 )
+                if sync_every and n % sync_every == 0:
+                    float(carry[1])  # true sync; see docstring
             params, opt_state, metrics, nxt = update_jit(
                 params,
                 opt_state,

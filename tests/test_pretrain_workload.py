@@ -223,6 +223,29 @@ def test_pretrain_split_accum_pinned_matches(tiny_cfg, tmp_path):
     )
 
 
+def test_pretrain_layerwise_grad_matches(tiny_cfg, tmp_path):
+    """--layerwise-grad (reverse-scan per-layer grad streaming, the 1558M
+    accum-arena killer) through the full workload loop must reproduce the
+    standard value_and_grad path's numerics in fp32."""
+    from gpt2_vision_language_tpu.train.pretrain import run_pretrain
+
+    cfg_lw = dataclasses.replace(
+        tiny_cfg, layerwise_grad=True, split_accum=2, pin_layouts=True,
+        sample_every=0, log_dir=str(tmp_path / "log_lw"),
+    )
+    out_lw = run_pretrain(cfg_lw, policy=FP32_POLICY, num_devices=1)
+    out_ref = run_pretrain(tiny_cfg, policy=FP32_POLICY, num_devices=1)
+    np.testing.assert_allclose(
+        out_lw["val_loss"], out_ref["val_loss"], rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_lw["params"]["wte"]),
+        np.asarray(out_ref["params"]["wte"]),
+        rtol=2e-5,
+        atol=2e-6,
+    )
+
+
 def test_pretrain_val_disabled(tiny_cfg, tmp_path):
     """val_every=0 must skip validation (and its checkpoint save) entirely —
     the HBM-edge bring-up mode where the eval executable's reserved temp

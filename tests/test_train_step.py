@@ -83,12 +83,28 @@ def test_split_accum_matches_scan(accum_dtype, chunk):
         _loss_fn, OptimizerConfig(), SCHED, donate=False, split_accum=chunk,
         **kw
     )
+    # sync_every host-syncs between dispatches (the 1558M arena-overlap
+    # guard) — a pure scheduling knob; results must be bitwise identical
+    # to the async split path
+    sync_step = make_train_step(
+        _loss_fn, OptimizerConfig(), SCHED, donate=False, split_accum=chunk,
+        sync_every=1, **kw
+    )
     rng = np.random.RandomState(1)
-    p1, s1, p2, s2 = params, state, params, state
+    p1, s1, p2, s2, p3, s3 = params, state, params, state, params, state
     for i in range(3):
         batch = _batch(rng, 4, 2, 16)
         p1, s1, m1 = scan_step(p1, s1, batch, jnp.int32(i))
         p2, s2, m2 = split_step(p2, s2, batch, jnp.int32(i))
+        p3, s3, m3 = sync_step(p3, s3, batch, jnp.int32(i))
+    assert float(m2["loss"]) == float(m3["loss"])
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        p2,
+        p3,
+    )
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
     np.testing.assert_allclose(
         float(m1["grad_norm"]), float(m2["grad_norm"]), rtol=1e-5

@@ -78,6 +78,12 @@ def main() -> None:
     )
     p.add_argument("--model", default="1558M")
     p.add_argument(
+        "--layerwise",
+        action="store_true",
+        help="probe the layerwise reverse-scan grad path "
+        "(loss_grad_layerwise) instead of value_and_grad + remat",
+    )
+    p.add_argument(
         "--cpu",
         action="store_true",
         help="pin the CPU backend (wiring smoke test; use --model 124M)",
@@ -150,6 +156,16 @@ def main() -> None:
 
     pf = default_formats(params)
     io_formats = (pf, default_formats(opt_state))
+    layerwise_fn = None
+    if args.layerwise:
+
+        def layerwise_fn(lw_params, micro, gsum, acc):
+            x, y = split_rows_on_device(micro["rows"])
+            return gpt2.loss_grad_layerwise(
+                lw_params, x, model_cfg, targets=y, gsum=gsum, acc=acc,
+                policy=policy,
+            )
+
     train_step = make_train_step(
         loss_fn,
         cfg.optimizer,
@@ -159,6 +175,7 @@ def main() -> None:
         nan_guard=False,
         io_formats=io_formats,
         split_accum=args.chunk,
+        layerwise_loss_grad=layerwise_fn,
     )
 
     carry = train_step.debug_init_carry(params)
