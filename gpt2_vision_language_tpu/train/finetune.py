@@ -21,6 +21,7 @@ through the KV-cached decoder.
 from __future__ import annotations
 
 import os
+import sys
 import time
 from typing import Optional
 
@@ -226,6 +227,7 @@ def run_finetune(
 
     log = MetricsLogger(cfg.log_dir, is_master=master)
     log.meta("tokenizer", tokenizer.name)
+    log.meta("argv", " ".join(sys.argv))
     manager = CheckpointManager(
         os.path.join(log.log_dir, "ckpts"),
         save_every=cfg.save_every,

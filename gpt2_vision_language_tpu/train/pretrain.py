@@ -12,6 +12,7 @@ KV-cached decoder.
 from __future__ import annotations
 
 import os
+import sys
 import time
 from typing import Optional
 
@@ -202,8 +203,10 @@ def run_pretrain(
 
     log = MetricsLogger(cfg.log_dir, is_master=master)
     # self-identifying artifacts: which tokenizer produced this run
-    # (byte-fallback runs are not comparable to real-BPE runs)
+    # (byte-fallback runs are not comparable to real-BPE runs) and the
+    # exact command line (run forensics: attempt ledgers need the flags)
     log.meta("tokenizer", tokenizer.name)
+    log.meta("argv", " ".join(sys.argv))
     prof = ProfilerHook()
     ckpt_dir = os.path.join(log.log_dir, "ckpts")
     manager = CheckpointManager(

@@ -549,13 +549,33 @@ def make_train_step(
                 # relaid) — leaf-by-leaf, so the relayout transient is
                 # one leaf's copy, never the all-leaves-live bulk program
                 # pin_layouts exists to avoid.
+                # ...and CONSUME the caller's leaves as we go: device_put
+                # into a Format COPIES even at matching layout (measured,
+                # CPU and TPU), and the caller's frame keeps its whole
+                # old tree referenced for the duration of this call — at
+                # 1558M that is +5.85 GiB (params+opt both live twice)
+                # and was the entire attempt-5..8 OOM mystery (staged
+                # ladder probe: state+arenas accounted to 9.99 GiB yet
+                # runtime OOM'd; the invisible resident was the
+                # uncollected pre-commit trees). Deleting each source
+                # buffer right after its copy bounds the transient to ONE
+                # leaf. Safe: split_step owns the state (donate=True —
+                # the caller must never reuse the trees it passed in).
+                def commit_consume(x, f=None):
+                    y = jax.device_put(x, f if f is not None else x.sharding)
+                    if y is not x:
+                        try:
+                            x.delete()
+                        except Exception:
+                            pass  # non-deletable (e.g. np scalar leaf)
+                    return y
+
                 if io_formats is None:
-                    commit = lambda x: jax.device_put(x, x.sharding)
-                    params = jax.tree.map(commit, params)
-                    opt_state = jax.tree.map(commit, opt_state)
+                    params = jax.tree.map(commit_consume, params)
+                    opt_state = jax.tree.map(commit_consume, opt_state)
                 else:
-                    params = jax.tree.map(jax.device_put, params, pf)
-                    opt_state = jax.tree.map(jax.device_put, opt_state, of)
+                    params = jax.tree.map(commit_consume, params, pf)
+                    opt_state = jax.tree.map(commit_consume, opt_state, of)
                 committed[0] = True
             carry = next_carry[0]
             if carry is None:

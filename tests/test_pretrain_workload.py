@@ -53,6 +53,9 @@ def test_pretrain_runs_and_logs(tiny_cfg, tmp_path):
         "time,phase,step,loss,lr,grad_norm,dt_ms,tok_per_s,hellaswag_acc"
     )
     assert ",train," in content and ",val," in content
+    # provenance meta rows: tokenizer + exact command line (forensics)
+    assert ",meta,0,tokenizer=" in content
+    assert ",meta,0," in content and "argv=" in content
     ckpts = os.listdir(os.path.join(log_dir, "ckpts"))
     assert "model_final.npz" in ckpts
     assert "model_best.npz" in ckpts
