@@ -559,11 +559,13 @@ def make_train_step(
                 # runtime OOM'd; the invisible resident was the
                 # uncollected pre-commit trees). Deleting each source
                 # buffer right after its copy bounds the transient to ONE
-                # leaf. Safe: split_step owns the state (donate=True —
-                # the caller must never reuse the trees it passed in).
+                # leaf. Only when donate=True does split_step own the
+                # state (the caller must never reuse the trees it passed
+                # in — update_jit donates them anyway); with donate=False
+                # the caller may reuse its trees, so never delete.
                 def commit_consume(x, f=None):
                     y = jax.device_put(x, f if f is not None else x.sharding)
-                    if y is not x:
+                    if donate and y is not x:
                         try:
                             x.delete()
                         except Exception:
