@@ -119,6 +119,52 @@ def test_split_accum_matches_scan(accum_dtype, chunk):
     )
 
 
+def test_split_accum_commit_ownership():
+    """split_step's first-call commit must CONSUME the caller's trees
+    when donate=True (each source leaf deleted right after its copy —
+    the 1558M OOM root cause: the caller's frame otherwise keeps the
+    whole pre-commit params+opt alive, +5.85 GiB at 1558M) and must NOT
+    touch them when donate=False (callers legitimately reuse trees)."""
+    from gpt2_vision_language_tpu.train.step import default_formats
+
+    def build():
+        params = gpt2.init(jax.random.PRNGKey(0), SMALL)
+        return params, adamw_init(params)
+
+    rng = np.random.RandomState(2)
+    batch = _batch(rng, 2, 4, 16)
+
+    # donate=False: original trees stay usable after the step
+    params, state = build()
+    step = make_train_step(
+        _loss_fn, OptimizerConfig(), SCHED,
+        decay_mask=gpt2.decay_mask(params), use_fused_adamw=False,
+        donate=False, split_accum=1,
+        io_formats=(default_formats(params), default_formats(state)),
+    )
+    step(params, state, batch, jnp.int32(0))
+    assert not any(x.is_deleted() for x in jax.tree.leaves(params))
+    assert not any(
+        x.is_deleted() for x in jax.tree.leaves(state)
+        if hasattr(x, "is_deleted")
+    )
+
+    # donate=True: the caller's leaves are consumed (either deleted by
+    # the commit copy, or donated to update_jit) — reuse must fail
+    params, state = build()
+    step = make_train_step(
+        _loss_fn, OptimizerConfig(), SCHED,
+        decay_mask=gpt2.decay_mask(params), use_fused_adamw=False,
+        donate=True, split_accum=1,
+        io_formats=(default_formats(params), default_formats(state)),
+    )
+    p2, s2, _ = step(params, state, batch, jnp.int32(0))
+    assert all(x.is_deleted() for x in jax.tree.leaves(params))
+    # the returned trees are live and train on
+    p3, s3, m = step(p2, s2, batch, jnp.int32(1))
+    assert np.isfinite(float(m["loss"]))
+
+
 @requires_reference
 def test_full_train_step_parity_vs_torch():
     """3 optimizer steps with grad accumulation, clipping, cosine LR and
