@@ -71,6 +71,18 @@ def variants(B, H, T, hs):
         q, k, v, causal=True, sm_scale=scale, block_sizes=bs
     )
 
+    # Apples-to-apples with OUR fwd, which always emits lse for the custom
+    # VJP: upstream's residual-saving fwd (the one its own vjp dispatches —
+    # flash_attention.py::_flash_attention_fwd) also writes l and m.
+    def upstream_b512_res(q, k, v):
+        o, l, m = ufa._flash_attention_impl(
+            q, k, v, None, None, True, True, scale,
+            bs.block_b, bs.block_q, bs.block_k_major, bs.block_k, False,
+        )
+        return o
+
+    out["upstream_flash_b512_res"] = upstream_b512_res
+
     from jax.experimental.pallas.ops.tpu.splash_attention import (
         splash_attention_kernel as sk,
         splash_attention_mask as sm,
