@@ -12,8 +12,30 @@ import dataclasses
 import os
 import tempfile
 
+# --fit-1chip: the measured per-preset memory-mechanism stack that fits
+# each GPT-2 preset's full 0.5M-token batch on one 16 GB v5e chip
+# (ROUND_NOTES r2/r3; README "GPT-2 1558M on one 16 GB chip"). Explicit
+# flags always win — these only fill defaults the user left unset.
+FIT_1CHIP = {
+    "124M": {},  # fits natively; no-remat unrolled is fastest
+    "350M": {},  # fits no-remat (preset already sets unroll_layers)
+    "774M": {"opt_state_dtype": "bfloat16", "remat": "full"},
+    "1558M": {
+        "param_dtype": "bfloat16",
+        "opt_state_dtype": "int8",
+        "grad_accum_dtype": "bfloat16",
+        "remat": "full",
+        "pin_layouts": True,
+        "split_accum": 4,
+        "layerwise_grad": True,
+        "micro_batch": 4,  # measured sweet spot (8,482/9,296/9,008 at 2/4/8)
+    },
+}
 
-def main(argv=None):
+
+def parse_and_build(argv=None):
+    """Parse argv into (PretrainConfig, remat, args) without running
+    anything — split from main() so tests can pin flag expansion."""
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--steps", type=int, default=None, help="override max_steps")
     p.add_argument(
@@ -143,11 +165,25 @@ def main(argv=None):
     p.add_argument(
         "--remat",
         choices=["none", "full", "save_attn", "recompute_gelu", "recompute_mlp"],
-        default="none",
+        default=None,
         help="activation rematerialization policy (none is fastest at 124M "
-        "on 16GB chips; use full for larger presets)",
+        "on 16GB chips; use full for larger presets). Default: none",
+    )
+    p.add_argument(
+        "--fit-1chip", action="store_true",
+        help="apply the measured memory-mechanism stack that fits the "
+        "chosen --model preset's full batch on one 16 GB chip (774M: bf16 "
+        "opt states + remat; 1558M: bf16 params, int8 moments, SR-bf16 "
+        "accumulators, layout pinning, split accum, layerwise grads). "
+        "Explicit flags override",
     )
     args = p.parse_args(argv)
+    if args.fit_1chip:
+        for k, v in FIT_1CHIP[args.model].items():
+            if not getattr(args, k):  # user's explicit flag wins
+                setattr(args, k, v)
+    if args.remat is None:
+        args.remat = "none"
 
     from ..core.config import (
         GPT2_124M,
@@ -219,10 +255,15 @@ def main(argv=None):
         )
         updates["data_dir"] = d
     cfg = dataclasses.replace(cfg, **updates)
+    remat = {"none": False, "full": True}.get(args.remat, args.remat)
+    return cfg, remat, args
+
+
+def main(argv=None):
+    cfg, remat, args = parse_and_build(argv)
 
     from ..train.pretrain import run_pretrain
 
-    remat = {"none": False, "full": True}.get(args.remat, args.remat)
     run_pretrain(
         cfg, max_steps_override=args.steps, num_devices=args.devices, remat=remat
     )

@@ -305,3 +305,32 @@ def test_resume_matches_uninterrupted(tiny_cfg, tmp_path):
         jax.tree.leaves(out_a["params"]), jax.tree.leaves(out_b["params"])
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fit_1chip_flag_expansion():
+    """--fit-1chip fills the measured per-preset memory stack; explicit
+    flags always win (cli/pretrain.py FIT_1CHIP)."""
+    from gpt2_vision_language_tpu.cli.pretrain import parse_and_build
+
+    cfg, remat, _ = parse_and_build(["--model", "1558M", "--fit-1chip"])
+    assert cfg.param_dtype == "bfloat16"
+    assert cfg.opt_state_dtype == "int8"
+    assert cfg.grad_accum_dtype == "bfloat16"
+    assert cfg.pin_layouts and cfg.layerwise_grad
+    assert cfg.split_accum == 4
+    assert cfg.micro_batch_size == 4
+    assert remat is True
+
+    # explicit flag beats the preset value
+    cfg, _, _ = parse_and_build(
+        ["--model", "1558M", "--fit-1chip", "--micro-batch", "2"]
+    )
+    assert cfg.micro_batch_size == 2
+
+    cfg, remat, _ = parse_and_build(["--model", "774M", "--fit-1chip"])
+    assert cfg.opt_state_dtype == "bfloat16" and remat is True
+
+    # 124M: no-op (fits natively), remat stays off
+    cfg, remat, _ = parse_and_build(["--model", "124M", "--fit-1chip"])
+    assert cfg.opt_state_dtype is None or cfg.opt_state_dtype == "float32"
+    assert remat is False
