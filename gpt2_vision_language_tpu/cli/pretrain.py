@@ -143,6 +143,18 @@ def parse_and_build(argv=None):
         "(requires --tp > 1 and seq_len %% tp == 0)",
     )
     p.add_argument(
+        "--pp", type=int, default=1,
+        help="pipeline stages: builds a 2-D (data, pipe) mesh and runs "
+        "the blocks through the GPipe schedule with layers stage-sharded "
+        "on the pipe axis (parallel/pipeline.py). Requires n_layer %% pp "
+        "== 0; mutually exclusive with --tp",
+    )
+    p.add_argument(
+        "--pp-micro", type=int, default=0,
+        help="GPipe microbatches per grad-accum micro (0 = pp); larger "
+        "values shrink the (pp-1)/(pp_micro+pp-1) bubble",
+    )
+    p.add_argument(
         "--opt-state-dtype", choices=["float32", "bfloat16", "int8"],
         default=None,
         help="AdamW m/v storage dtype; bfloat16 halves optimizer HBM "
@@ -242,6 +254,10 @@ def parse_and_build(argv=None):
         updates["param_dtype"] = args.param_dtype
     if args.tp != 1:
         updates["tp"] = args.tp
+    if args.pp != 1:
+        updates["pp"] = args.pp
+    if args.pp_micro:
+        updates["pp_micro"] = args.pp_micro
     if args.seq_parallel:
         updates["seq_parallel"] = True
     if args.attn_impl != "auto":

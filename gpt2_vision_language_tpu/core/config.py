@@ -222,6 +222,14 @@ class PretrainConfig:
     tp: int = 1
     seq_parallel: bool = False
     attn_impl: str = "auto"
+    # pp > 1 builds a ("data", "pipe") mesh and runs the decoder blocks
+    # through the GPipe schedule (parallel/pipeline.py): layers
+    # stage-sharded on the pipe axis, activations hop via ppermute,
+    # embeddings/lm_head replicated. pp_micro = GPipe microbatches per
+    # grad-accum micro (0 -> pp); requires n_layer % pp == 0 and the
+    # per-micro batch divisible by pp_micro. Mutually exclusive with tp.
+    pp: int = 1
+    pp_micro: int = 0
 
     def grad_accum_steps(self, world_size: int) -> int:
         denom = self.micro_batch_size * self.seq_len * world_size

@@ -126,7 +126,18 @@ def pipeline_run_blocks(
             {"blocks": block_params}, x, cfg, policy=policy,
             attn_impl=attn_impl,
         )
-    xm = x.reshape(n_micro, b // n_micro, *x.shape[1:])
+    # bf16 collectives under the partial-manual shard_map crash XLA:CPU's
+    # SPMD partitioner ("Invalid binary instruction opcode copy", jax
+    # 0.9.0 — minimal repro bisected in ROUND_NOTES r3), and the crash
+    # reaches beyond the final psum: the shard_map TRANSPOSE inserts
+    # cotangent psums for every pipe-invariant input. So the pipeline
+    # TRANSPORT (scan carries, ppermute payloads, output accumulator,
+    # psums and their transposes) rides fp32; each stage casts to the
+    # compute dtype on entry and back on exit. Blocks still compute bf16;
+    # the extra casts are per-stage, not per-layer.
+    compute_dt = x.dtype
+    tdt = jnp.float32 if compute_dt == jnp.bfloat16 else compute_dt
+    xm = x.reshape(n_micro, b // n_micro, *x.shape[1:]).astype(tdt)
     ticks = n_micro + n_stage - 1
     perm = [(i, (i + 1) % n_stage) for i in range(n_stage)]
 
@@ -140,8 +151,8 @@ def pipeline_run_blocks(
                     None,
                 )
 
-            h, _ = jax.lax.scan(body, h, bp)
-            return h
+            h, _ = jax.lax.scan(body, h.astype(compute_dt), bp)
+            return h.astype(tdt)
 
         def tick(carry, t):
             recv, acc = carry
@@ -174,6 +185,8 @@ def pipeline_run_blocks(
             tick, (recv0, acc0), jnp.arange(ticks)
         )
         # only the last stage holds real outputs; psum replicates them
+        # (exact: every shard is either the value or zeros, so this sum
+        # is a selection — and it rides tdt, never bf16, see above)
         acc = jnp.where(s == n_stage - 1, acc, jnp.zeros_like(acc))
         return jax.lax.psum(acc, axis_name)
 
@@ -189,4 +202,4 @@ def pipeline_run_blocks(
         out_specs=P(),
         axis_names={axis_name},
     )(block_params, xm)
-    return out.reshape(b, *x.shape[1:])
+    return out.reshape(b, *x.shape[1:]).astype(compute_dt)

@@ -51,7 +51,23 @@ def run_pretrain(
 ) -> dict:
     """Run the pretrain loop. Returns final params + summary metrics."""
     maybe_init_distributed()
-    if cfg.tp > 1:
+    if cfg.pp > 1:
+        # GPipe pipeline stages over a ("data", "pipe") mesh
+        # (parallel/pipeline.py; VERDICT r2 #2 made PP a full train step,
+        # this makes it operable from the workload like tp/sp/ring)
+        assert cfg.tp == 1 and not cfg.seq_parallel, "pp excludes tp/sp"
+        assert cfg.attn_impl != "ring", "pp excludes ring attention"
+        assert not cfg.layerwise_grad, "pp excludes layerwise_grad"
+        assert cfg.opt_state_dtype != "int8", (
+            "int8 moments + pipe param sharding not supported"
+        )
+        assert cfg.model.n_layer % cfg.pp == 0, (cfg.model.n_layer, cfg.pp)
+        n = num_devices or len(jax.devices())
+        assert n % cfg.pp == 0, f"devices {n} not divisible by pp={cfg.pp}"
+        mesh = make_mesh(
+            num_devices, ("data", "pipe"), shape=(n // cfg.pp, cfg.pp)
+        )
+    elif cfg.tp > 1:
         n = num_devices or len(jax.devices())
         assert n % cfg.tp == 0, f"devices {n} not divisible by tp={cfg.tp}"
         mesh = make_mesh(
@@ -103,16 +119,30 @@ def run_pretrain(
         assert cfg.seq_len % cfg.tp == 0, (cfg.seq_len, cfg.tp)
         ra.set_ring_mesh(mesh)
 
-    def loss_fn(params, micro):
-        # micro["rows"] is a (B, T+1) uint16 row buffer (~2 bytes/token over
-        # the host->device link vs 8 for int32 x+y), batch-sharded over the
-        # "data" mesh axis by shard_batch; x/y derive on device
-        x, y = split_rows_on_device(micro["rows"])
-        # fused chunked lm_head+CE: never materializes (B, T, 50304) logits
-        return gpt2.loss(
-            params, x, model_cfg, targets=y, policy=policy, remat=remat,
-            attn_impl=cfg.attn_impl, act_sharding=act_sh,
+    if cfg.pp > 1:
+        from ..parallel.pipeline import make_pipeline_loss_fn
+
+        pp_loss = make_pipeline_loss_fn(
+            model_cfg, mesh, n_micro=cfg.pp_micro or cfg.pp, policy=policy,
+            attn_impl="xla" if cfg.attn_impl == "auto" else cfg.attn_impl,
         )
+
+        def loss_fn(params, micro):
+            x, y = split_rows_on_device(micro["rows"])
+            return pp_loss(params, {"x": x, "y": y})
+
+    else:
+
+        def loss_fn(params, micro):
+            # micro["rows"] is a (B, T+1) uint16 row buffer (~2 bytes/token
+            # over the host->device link vs 8 for int32 x+y), batch-sharded
+            # over the "data" mesh axis by shard_batch; x/y derive on device
+            x, y = split_rows_on_device(micro["rows"])
+            # fused chunked lm_head+CE: never materializes (B,T,50304) logits
+            return gpt2.loss(
+                params, x, model_cfg, targets=y, policy=policy, remat=remat,
+                attn_impl=cfg.attn_impl, act_sharding=act_sh,
+            )
 
     def _build_params():
         p = gpt2.init(jax.random.PRNGKey(cfg.seed), model_cfg)
@@ -135,6 +165,20 @@ def run_pretrain(
     # (whose temp arena is the whole fp32 init tree, ~5.8 GB at 1558M)
     # alive for the entire run alongside the train programs' arenas
     jax.clear_caches()
+    if cfg.pp > 1:
+        # stage-shard the block stacks on the pipe axis (embeddings/lm
+        # head replicated — parallel/pipeline.py pipeline_param_pspecs)
+        from jax.sharding import NamedSharding
+
+        from ..parallel.pipeline import pipeline_param_pspecs
+
+        pp_specs = pipeline_param_pspecs(params)
+        place_pp = lambda tree: jax.tree.map(
+            lambda a, s: jax.device_put(a, NamedSharding(mesh, s)),
+            tree,
+            pp_specs,
+        )
+        params = place_pp(params)
     if cfg.tp > 1:
         # Megatron column/row parameter shardings over the model axis;
         # optimizer states inherit the placement through zeros_like
@@ -157,6 +201,9 @@ def run_pretrain(
         # in HBM rather than replicated
         opt_state["m"] = shard_params(opt_state["m"], mesh)
         opt_state["v"] = shard_params(opt_state["v"], mesh)
+    if cfg.pp > 1:
+        opt_state["m"] = place_pp(opt_state["m"])
+        opt_state["v"] = place_pp(opt_state["v"])
     if master:
         n = gpt2.param_count(params)
         print(f"[init] parameters: {n:,}")
@@ -244,6 +291,10 @@ def run_pretrain(
             params = shard_params(params, mesh)
             opt_state["m"] = shard_params(opt_state["m"], mesh)
             opt_state["v"] = shard_params(opt_state["v"], mesh)
+        if cfg.pp > 1:
+            params = place_pp(params)
+            opt_state["m"] = place_pp(opt_state["m"])
+            opt_state["v"] = place_pp(opt_state["v"])
         # save_step runs at the TOP of iteration s (params hold updates
         # 0..s-1), so the saved step is the next one to RUN. The reference
         # resumes at step+1 and silently skips one update per resume

@@ -170,3 +170,38 @@ def test_pipeline_microbatch_counts():
     np.testing.assert_allclose(
         np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5
     )
+
+
+def test_pipeline_bf16_policy_compiles_and_grads():
+    """Regression: under the production bf16 policy, the pipelined loss
+    used to crash XLA:CPU's SPMD partitioner ('Invalid binary instruction
+    opcode copy') — bf16 collectives under the partial-manual shard_map,
+    both the output psum and the transpose-inserted cotangent psums. The
+    fp32 transport keeps every pipe collective off bf16; fwd+grad must
+    compile and produce finite values."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding
+    from gpt2_vision_language_tpu.core.precision import DEFAULT_POLICY
+    from gpt2_vision_language_tpu.parallel.pipeline import (
+        make_pipeline_loss_fn,
+        pipeline_param_pspecs,
+    )
+
+    mesh = make_mesh(8, ("data", "pipe"), shape=(4, 2))
+    params = gpt2.init(jax.random.PRNGKey(0), CFG)
+    place = jax.tree.map(
+        lambda p, s: jax.device_put(p, NamedSharding(mesh, s)),
+        params,
+        pipeline_param_pspecs(params),
+    )
+    lf = make_pipeline_loss_fn(CFG, mesh, n_micro=2, policy=DEFAULT_POLICY)
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(
+        rng.randint(0, CFG.vocab_size, size=(4, CFG.block_size))
+    )
+    micro = {"x": x, "y": x}
+    loss = float(jax.jit(lf)(place, micro))
+    assert np.isfinite(loss)
+    g = jax.jit(jax.grad(lf))(place, micro)
+    assert all(np.all(np.isfinite(np.asarray(l, np.float32)))
+               for l in jax.tree.leaves(g))

@@ -334,3 +334,40 @@ def test_fit_1chip_flag_expansion():
     cfg, remat, _ = parse_and_build(["--model", "124M", "--fit-1chip"])
     assert cfg.opt_state_dtype is None or cfg.opt_state_dtype == "float32"
     assert remat is False
+
+
+def test_pretrain_pp_matches_single_device(tiny_cfg, tmp_path):
+    """--pp from the workload: GPipe stages over a ('data','pipe') mesh
+    inside the real pretrain loop (prefetcher, logger, checkpoints),
+    pinned to the single-device run (completes the operable-from-CLI
+    matrix: dp/tp/sp/ring/pp)."""
+    import dataclasses
+
+    from gpt2_vision_language_tpu.train.pretrain import run_pretrain
+
+    base = dataclasses.replace(
+        tiny_cfg,
+        total_batch_size=4 * 32 * 2,  # accum 2 at global batch 4 (dp=4)
+        micro_batch_size=1,
+        schedule=dataclasses.replace(tiny_cfg.schedule, max_steps=3),
+        val_every=2,
+    )
+    cfg_pp = dataclasses.replace(
+        base, pp=2, log_dir=str(tmp_path / "log_pp")
+    )
+    cfg_1 = dataclasses.replace(
+        base, micro_batch_size=4, log_dir=str(tmp_path / "log_pp1")
+    )
+    out_pp = run_pretrain(cfg_pp, policy=FP32_POLICY, num_devices=8)
+    out_1 = run_pretrain(cfg_1, policy=FP32_POLICY, num_devices=1)
+    np.testing.assert_allclose(
+        out_pp["val_loss"], out_1["val_loss"], rtol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_pp["params"]["wte"]),
+        np.asarray(out_1["params"]["wte"]),
+        rtol=2e-4,
+        atol=2e-6,
+    )
+    ckpts = os.listdir(os.path.join(cfg_pp.log_dir, "ckpts"))
+    assert "model_final.npz" in ckpts
