@@ -1,9 +1,11 @@
 """Benchmark: GPT-2 124M pretrain throughput (tokens/sec/chip) on real TPU.
 
 Full training step — forward + backward + grad-accum scan + global-norm
-clip + AdamW + cosine LR — at the reference workload shape (B=16, T=1024,
-bf16), Pallas flash attention, remat on blocks. Baseline: the reference's
-derived ~58k tok/s on an RTX A5000 (BASELINE.md: 10B tokens / ~2 days).
+clip + AdamW + cosine LR — at the reference's effective batch (524,288
+tokens/step at T=1024, bf16; the reference reaches it as B=16 x accum=32,
+this bench as B=8 x accum=64 — measured faster on v5e, see the sweep table
+below), Pallas flash attention. Baseline: the reference's derived ~58k
+tok/s on an RTX A5000 (BASELINE.md: 10B tokens / ~2 days).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
