@@ -67,8 +67,10 @@ def parse_and_build(argv=None):
     )
     p.add_argument(
         "--no-nan-guard", action="store_true",
-        help="drop the in-graph NaN-rollback selects (frees old-state "
-        "liveness on HBM-edge configs; the loop still halts on non-finite)",
+        help="drop the NaN-rollback guard. Only relevant to ONE-JIT steps "
+        "(in-graph rollback selects keep old-state live); --split-accum "
+        "configs guard host-side at zero HBM cost, so the 1558M recipe no "
+        "longer needs this. The loop still halts on non-finite either way",
     )
     p.add_argument(
         "--pin-layouts", action="store_true",

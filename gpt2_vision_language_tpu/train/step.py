@@ -20,13 +20,14 @@ tree + activations of a single micro-batch (with remat on blocks).
 
 from __future__ import annotations
 
+import math
 from typing import Callable
 
 import jax
 import jax.numpy as jnp
 
 from ..core.config import OptimizerConfig, ScheduleConfig
-from .optimizer import adamw_update, freeze
+from .optimizer import adamw_update, freeze, global_norm
 from .schedule import cosine_warmup_lr
 
 
@@ -142,6 +143,16 @@ def make_train_step(
     step's zeroed accumulator carry (aliasing the donated gsum), so
     steps after the first skip the ~150-leaf init dispatch. The returned
     callable has the same signature but is not itself a jax.jit object.
+
+    nan_guard: failure detection (SURVEY §5 — the reference has none).
+    One-jit path: in-graph rollback selects (loss/grad-norm finiteness
+    gates the update; costs old+new trees live in the step's arena).
+    split_accum path: guarded HOST-SIDE instead — a small program reads
+    (loss, grad_norm) off the accumulator carry and the update program is
+    only dispatched if both are finite, so a poisoned step is a no-op at
+    zero select HBM (the reason --no-nan-guard existed at the 1558M HBM
+    edge is gone; the flag now only matters for one-jit configs). Costs
+    one 2-scalar host sync per step on the split path.
 
     sync_every (split_accum only): host-sync the loss carry every N accum
     dispatches, bounding how many in-flight executions the runtime holds
@@ -327,7 +338,10 @@ def make_train_step(
             tmask,
         )
 
-    def apply_update(params, opt_state, gsum, lsum, step_idx, inv_accum):
+    def apply_update(
+        params, opt_state, gsum, lsum, step_idx, inv_accum,
+        guard_selects=True,
+    ):
         lr = cosine_warmup_lr(step_idx, sched_cfg)
         # the 1/accum mean is folded into adamw_update's clip scalar
         # (grad_scale) rather than applied as a tree.map here: a pre-scaled
@@ -359,8 +373,12 @@ def make_train_step(
         # whole-model-bf16 sat 134 MB over a 15.75 GB budget) that
         # scheduling slack is the difference between fitting and not. The
         # caller's halt-on-nonfinite check still fires; only the
-        # keep-last-good-state property is traded away.
-        if nan_guard:
+        # keep-last-good-state property is traded away. The split_accum
+        # path never takes these selects (guard_selects=False): it guards
+        # HOST-SIDE instead — finiteness checked BEFORE the update program
+        # is dispatched, and a bad step simply skips the dispatch, which
+        # is a perfect rollback at zero HBM cost (see split_step).
+        if nan_guard and guard_selects:
             ok = jnp.logical_and(jnp.isfinite(loss), jnp.isfinite(norm))
             new_params = jax.tree.map(
                 lambda new, old: jnp.where(ok, new, old), new_params, params
@@ -428,8 +446,12 @@ def make_train_step(
 
         def update(params, opt_state, carry, step_idx, inv_accum):
             gsum, lsum = carry
+            # guard_selects=False: the rollback jnp.where selects keep OLD
+            # and NEW trees simultaneously live in the update program's
+            # arena; the split path guards host-side before dispatch
             new_params, new_opt, metrics = apply_update(
-                params, opt_state, gsum, lsum, step_idx, inv_accum
+                params, opt_state, gsum, lsum, step_idx, inv_accum,
+                guard_selects=False,
             )
             # also emit next step's zeroed accumulator carry: it aliases
             # the donated gsum buffers, so steps after the first need no
@@ -474,6 +496,33 @@ def make_train_step(
             update_jit = jax.jit(
                 update, donate_argnums=(0, 1, 2) if donate else ()
             )
+
+        def guard_check(gsum, lsum, step_idx, inv_accum):
+            """Pre-update finiteness probe: the step's loss and grad norm
+            (the exact pair the in-graph guard selects on — the norm also
+            catches backward-only NaNs that leave the forward loss finite).
+            Reads the accumulator carry WITHOUT donating it; the update
+            program consumes it afterwards on the healthy path. One extra
+            bandwidth pass over gsum + a 2-scalar host sync per step —
+            noise next to the accum programs it guards."""
+            tm = (
+                trainable_mask
+                if trainable_mask is not None
+                else jax.tree.map(lambda _: True, gsum)
+            )
+            norm = global_norm(gsum, tm) * inv_accum
+            lr = cosine_warmup_lr(step_idx, sched_cfg)
+            return lsum * inv_accum, norm, lr
+
+        if io_formats is not None:
+            # pin the gsum entry layouts: an auto-layout guard program
+            # whose preferred layouts disagree with the pinned carry would
+            # relayout-copy the whole accumulator tree (2.9 GiB at 1558M)
+            guard_jit = jax.jit(
+                guard_check, in_shardings=(gf, None, None, None)
+            )
+        else:
+            guard_jit = jax.jit(guard_check)
 
         accum_jits = {}  # chunk length -> jitted program (≤2 distinct)
 
@@ -590,6 +639,28 @@ def make_train_step(
                 )
                 if sync_every and n % sync_every == 0:
                     float(carry[1])  # true sync; see docstring
+            if nan_guard:
+                # host-side failure guard: check finiteness BEFORE the
+                # update program runs. A bad step never dispatches the
+                # update — params/opt are untouched (perfect rollback)
+                # and the step counter stays put, exactly the in-graph
+                # guard's semantics but with zero select/rollback HBM:
+                # this is what lets the 1558M HBM-edge recipe keep its
+                # failure detection (the in-graph selects were the one
+                # mechanism --no-nan-guard existed to drop).
+                loss_d, norm_d, lr_d = guard_jit(
+                    carry[0], carry[1], step_idx,
+                    stage(1.0 / accum, jnp.float32),
+                )
+                if not (
+                    math.isfinite(float(loss_d))
+                    and math.isfinite(float(norm_d))
+                ):
+                    # drop the poisoned carry; next step re-inits zeros
+                    next_carry[0] = None
+                    return params, opt_state, {
+                        "loss": loss_d, "lr": lr_d, "grad_norm": norm_d,
+                    }
             params, opt_state, metrics, nxt = update_jit(
                 params,
                 opt_state,
