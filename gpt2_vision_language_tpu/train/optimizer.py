@@ -299,6 +299,7 @@ def adamw_update(
     trainable_mask=None,
     use_fused: bool = False,
     grad_scale=None,
+    precomputed_norm=None,
 ):
     """One optimizer step. Returns (new_params, new_state, pre_clip_norm).
 
@@ -309,7 +310,15 @@ def adamw_update(
     grads tree (2.9 GB at 1558M: a scaled tree feeding the chunked 8-bit
     update's fori_loop cannot fuse into the loop body, so XLA kept the
     whole copy live in the update program's arena). Bit-identical to
-    pre-scaling whenever grad_scale is a power of two (1/accum is)."""
+    pre-scaling whenever grad_scale is a power of two (1/accum is).
+
+    precomputed_norm: optional already-grad_scaled global norm. The
+    split-accum host guard (train/step.py guard_check) computes the exact
+    same `global_norm(grads, mask) * grad_scale` every step to test
+    finiteness before dispatching the update; threading that scalar in
+    here skips the in-graph recompute — one full bandwidth pass over the
+    grad-accumulator tree (2.9 GiB at 1558M) saved per healthy step.
+    Bit-identical: same reduction, same mask, same scale order."""
     if trainable_mask is None:
         trainable_mask = _tmap(lambda _: True, params)
     step = state["step"] + 1
@@ -317,9 +326,12 @@ def adamw_update(
     bc1 = 1.0 - cfg.beta1**t
     bc2 = 1.0 - cfg.beta2**t
 
-    norm = global_norm(grads, trainable_mask)
-    if grad_scale is not None:
-        norm = norm * grad_scale
+    if precomputed_norm is not None:
+        norm = jnp.asarray(precomputed_norm, jnp.float32)
+    else:
+        norm = global_norm(grads, trainable_mask)
+        if grad_scale is not None:
+            norm = norm * grad_scale
     clip_scale = jnp.minimum(1.0, cfg.grad_clip / (norm + 1e-6))
     if grad_scale is not None:
         clip_scale = clip_scale * grad_scale

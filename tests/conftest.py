@@ -10,9 +10,19 @@ import sys
 
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA:CPU's collective rendezvous hard-SIGABRTs after 40 s if not all
+# device threads arrive — on this 1-core host, background load (another
+# pytest shard, a TPU drive) can starve threads past that and kill the
+# run spuriously (observed r3: collective-permute, 4 of 8 arrived).
+# Raise the termination timeouts; a loaded host resolves in minutes.
+for _f in (
+    "--xla_cpu_collective_timeout_seconds=600",
+    "--xla_cpu_collective_call_terminate_timeout_seconds=600",
+):
+    if _f.split("=")[0] not in _flags:
+        _flags += " " + _f
+os.environ["XLA_FLAGS"] = _flags
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
