@@ -73,6 +73,54 @@ def seq_parallel_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data", "model", None))
 
 
+def moment_specs(params, moments, mesh: Mesh):
+    """PartitionSpecs for an optimizer moment tree (adamw_init output for
+    one of m/v), which may contain three leaf kinds per parameter:
+
+      * plain arrays shaped like the param (fp32/bf16 moments) — inherit
+        the param's Megatron spec;
+      * scalar () placeholders (frozen leaves) — replicated;
+      * block-quantized {"q": (npad,) int8, "s": (npad/256,) fp32} dicts
+        (train/optimizer.py q8) — the flat buffers are sharded over
+        "model" on their single axis whenever every shard boundary lands
+        on a 256-element block boundary (npad % (Q8_BLOCK*tp) == 0, true
+        for all q8-eligible GPT-2 leaves), else replicated.
+
+    The flat-contiguous "model" sharding of q/s does NOT coincide with
+    the owning param's (column/row) sharded axis for most leaves; GSPMD
+    inserts the int8 reshard inside the update program's dequant reshape.
+    That trades one int8-sized collective per moment per step for the
+    4.3 GB HBM saving that makes int8 moments worth having — the same
+    global block grid as tp=1, so the quantized trajectory is identical
+    to the single-chip recipe's (pinned by test_int8_tp_step_parity).
+    Per-shard requantization (zero-collective, tp-dependent grid) is the
+    known faster variant if multi-chip profiling ever shows this matters.
+    """
+    from ..train.optimizer import Q8_BLOCK
+
+    tp = mesh.shape.get("model", 1)
+    pspecs = gpt2_param_specs(params)
+    flat_p, treedef = jax.tree.flatten(params)
+    flat_spec = treedef.flatten_up_to(pspecs)
+    flat_m = treedef.flatten_up_to(moments)
+    out = []
+    for p, sp, m in zip(flat_p, flat_spec, flat_m):
+        if isinstance(m, dict):  # q8 blocks
+            aligned = tp > 1 and m["q"].size % (Q8_BLOCK * tp) == 0
+            ax = "model" if aligned else None
+            out.append({"q": P(ax), "s": P(ax)})
+        elif m.ndim == p.ndim:
+            out.append(sp)
+        else:  # scalar placeholder for a frozen leaf
+            out.append(P())
+    return jax.tree.unflatten(treedef, out)
+
+
+def shard_moments(params, moments, mesh: Mesh):
+    """Place one moment tree (m or v) on the mesh; q8-dict aware."""
+    return shard_params(moments, mesh, specs=moment_specs(params, moments, mesh))
+
+
 def shard_params(params, mesh: Mesh, specs=None):
     """Place a parameter pytree on the mesh under the given specs.
 

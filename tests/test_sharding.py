@@ -87,6 +87,74 @@ def test_tp_matches_single_device():
     assert shard_shape[2] == p2["blocks"]["attn"]["wqkv"].shape[2] // 4
 
 
+def test_int8_tp_step_parity():
+    """int8 (q8) moments compose with TP: the flat {q, s} buffers ride a
+    block-aligned "model" sharding (parallel/sharding.py moment_specs)
+    while the params keep their Megatron specs. Same global block grid as
+    tp=1, so a 2-step quantized trajectory must match the single-device
+    int8 run up to fp32 reduction order (the clip norm's psum)."""
+    from gpt2_vision_language_tpu.parallel.sharding import shard_moments
+
+    assert jax.device_count() >= 8
+    # q8-eligible shapes (>= 64k elements, ndim >= 2): wte 512x128,
+    # wqkv (2,128,384), wfc (2,128,512) quantize; wo/wproj stay fp32
+    cfg = GPTConfig(
+        block_size=32, vocab_size=512, n_layer=2, n_head=4, n_embd=128
+    )
+
+    def loss_fn(params, micro):
+        _, loss = gpt2.apply(
+            params, micro["x"], cfg, targets=micro["y"], policy=FP32_POLICY
+        )
+        return loss
+
+    params = gpt2.init(jax.random.PRNGKey(0), cfg)
+    assert isinstance(
+        adamw_init(params, state_dtype=jnp.int8)["m"]["blocks"]["attn"]["wqkv"],
+        dict,
+    ), "test config must exercise q8 leaves"
+    step = make_train_step(
+        loss_fn, OptimizerConfig(), SCHED,
+        decay_mask=gpt2.decay_mask(params), donate=False,
+    )
+    rng = np.random.RandomState(3)
+    x = rng.randint(0, 512, (2, 8, 16)).astype(np.int32)
+    batch = {"x": jnp.asarray(x), "y": jnp.asarray(np.roll(x, -1, -1))}
+
+    p1 = params
+    s1 = adamw_init(p1, state_dtype=jnp.int8)
+    for i in range(2):  # step 2 dequantizes non-zero codes
+        p1, s1, m1 = step(p1, s1, batch, jnp.int32(i))
+
+    mesh = make_mesh(8, ("data", "model"), shape=(2, 4))
+    p2 = shard_params(params, mesh)
+    s2 = adamw_init(p2, state_dtype=jnp.int8)
+    s2["m"] = shard_moments(p2, s2["m"], mesh)
+    s2["v"] = shard_moments(p2, s2["v"], mesh)
+    # the big q8 buffers must actually be model-sharded in HBM
+    q = s2["m"]["blocks"]["attn"]["wqkv"]["q"]
+    assert q.sharding.shard_shape(q.shape)[0] == q.shape[0] // 4
+    sbatch = shard_batch(mesh, batch, leading_accum_axis=True)
+    for i in range(2):
+        p2, s2, m2 = step(p2, s2, sbatch, jnp.int32(i))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(m1["grad_norm"]), float(m2["grad_norm"]), rtol=1e-5
+    )
+    for path in (("wte",), ("blocks", "attn", "wqkv"), ("blocks", "mlp", "wfc")):
+        a, b = p1, p2
+        for k in path:
+            a, b = a[k], b[k]
+        # atol covers one quantization step: the sharded clip norm differs
+        # from the single-device one in its last fp32 ulp (psum order),
+        # which can flip isolated m/v codes by +-1 — observed 1 element in
+        # 98304 off by 1.3e-5 after 2 steps; the grid itself is identical
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=5e-5
+        )
+
+
 def test_sequence_parallel_matches_single_device():
     """act_sharding=P("data","model",None) on the residual stream is a pure
     layout/communication hint: loss, grads, and updated params must match

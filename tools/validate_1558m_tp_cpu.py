@@ -42,14 +42,22 @@ from gpt2_vision_language_tpu.train.optimizer import adamw_init  # noqa: E402
 from gpt2_vision_language_tpu.train.step import make_train_step  # noqa: E402
 
 
-def run_step(params, batch, cfg, mesh=None):
+def run_step(params, batch, cfg, mesh=None, state_dtype=None):
     def loss_fn(p, micro):
         _, l = gpt2.apply(
             p, micro["x"], cfg, targets=micro["y"], policy=FP32_POLICY
         )
         return l
 
-    opt = adamw_init(params)
+    opt = adamw_init(params, state_dtype=state_dtype)
+    if mesh is not None and state_dtype is not None:
+        # int8 x TP: the flat q8 {q, s} buffers ride a block-aligned
+        # "model" sharding (parallel/sharding.py moment_specs) — this run
+        # IS the 1558M-scale pin for that composition (VERDICT r3 #6)
+        from gpt2_vision_language_tpu.parallel.sharding import shard_moments
+
+        opt["m"] = shard_moments(params, opt["m"], mesh)
+        opt["v"] = shard_moments(params, opt["v"], mesh)
     step = make_train_step(
         loss_fn,
         OptimizerConfig(),
@@ -69,7 +77,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seq-len", type=int, default=64)
     ap.add_argument("--tp", type=int, default=4)
+    ap.add_argument(
+        "--opt-state-dtype", default=None, choices=[None, "int8", "bfloat16"],
+        help="moment storage for BOTH runs (int8 exercises q8 x TP)",
+    )
     args = ap.parse_args()
+    state_dtype = jnp.dtype(args.opt_state_dtype) if args.opt_state_dtype else None
 
     n = len(jax.devices())
     assert n >= args.tp, f"need {args.tp} devices, have {n} (set XLA_FLAGS)"
@@ -85,15 +98,18 @@ def main():
     x = rng.randint(0, cfg.vocab_size, size=(accum, B, T), dtype=np.int32)
     batch_host = {"x": x, "y": np.roll(x, -1, axis=-1)}
 
-    print("single-device step...", flush=True)
-    ref = run_step(params, jax.tree.map(jnp.asarray, batch_host), cfg)
+    print(f"single-device step (opt_state_dtype={args.opt_state_dtype})...", flush=True)
+    ref = run_step(
+        params, jax.tree.map(jnp.asarray, batch_host), cfg,
+        state_dtype=state_dtype,
+    )
 
     print(f"tp={args.tp} sharded step...", flush=True)
     mesh = make_mesh(n, ("data", "model"), shape=(n // args.tp, args.tp))
     sharded = shard_params(params, mesh)
     del params
     batch = shard_batch(mesh, batch_host, leading_accum_axis=True)
-    got = run_step(sharded, batch, cfg, mesh)
+    got = run_step(sharded, batch, cfg, mesh, state_dtype=state_dtype)
 
     np.testing.assert_allclose(got[0], ref[0], rtol=2e-6)
     np.testing.assert_allclose(got[1], ref[1], rtol=2e-5)
