@@ -149,7 +149,7 @@ def parse_and_build(argv=None):
         help="pipeline stages: builds a 2-D (data, pipe) mesh and runs "
         "the blocks through the GPipe schedule with layers stage-sharded "
         "on the pipe axis (parallel/pipeline.py). Requires n_layer %% pp "
-        "== 0; mutually exclusive with --tp",
+        "== 0; composes with --tp (Megatron sharding inside each stage)",
     )
     p.add_argument(
         "--pp-micro", type=int, default=0,

@@ -47,14 +47,57 @@ def stage_param_specs(block_params, axis_name: str = "pipe"):
     )
 
 
-def pipeline_param_pspecs(params, axis_name: str = "pipe"):
+def pipeline_param_pspecs(params, axis_name: str = "pipe", tp: bool = False):
     """PartitionSpecs for the FULL decoder param tree under pipeline
     parallelism: block stacks layer-sharded on `axis_name`, embeddings /
     final LN replicated. Feed to `jax.device_put` / `NamedSharding` so the
-    optimizer state and grad accumulators inherit the same placement."""
-    specs = {k: jax.tree.map(lambda _: P(), v) for k, v in params.items()}
-    specs["blocks"] = stage_param_specs(params["blocks"], axis_name)
+    optimizer state and grad accumulators inherit the same placement.
+
+    tp=True composes with Megatron tensor parallelism on a
+    ("data", "pipe", "model") mesh: every block leaf keeps its column/row
+    "model" axis from parallel.sharding.gpt2_param_specs UNDER the leading
+    "pipe" stage axis (e.g. wqkv (L, C, 3C) -> P("pipe", None, "model")),
+    and the non-block leaves (wte, wpe, lnf) take their Megatron specs
+    directly. pipeline_run_blocks' shard_map stays manual over "pipe"
+    only, so inside each stage GSPMD sees model-sharded weights and
+    inserts the usual Megatron all-reduces per tick — pp x tp without a
+    single hand-written collective beyond the pipe ppermute."""
+    if not tp:
+        specs = {k: jax.tree.map(lambda _: P(), v) for k, v in params.items()}
+        specs["blocks"] = stage_param_specs(params["blocks"], axis_name)
+        return specs
+    from .sharding import gpt2_param_specs
+
+    specs = gpt2_param_specs(params)
+    specs["blocks"] = jax.tree.map(
+        lambda sp: P(axis_name, *tuple(sp)[1:]),
+        specs["blocks"],
+        is_leaf=lambda x: isinstance(x, P),
+    )
     return specs
+
+
+def transport_dtype(compute_dt, platform: str, override: str = "auto"):
+    """Dtype for the pipeline TRANSPORT (scan carries, ppermute payloads,
+    output accumulator, psums and their transposes).
+
+    bf16 collectives under the partial-manual shard_map crash XLA:CPU's
+    SPMD partitioner ("Invalid binary instruction opcode copy", jax 0.9.0
+    — minimal repro bisected in ROUND_NOTES r3), and the crash reaches
+    beyond the final psum: the shard_map TRANSPOSE inserts cotangent psums
+    for every pipe-invariant input. So on CPU meshes a bf16 compute dtype
+    upcasts the transport to fp32 (each stage casts to compute dtype on
+    entry and back on exit — per-stage casts, not per-layer). TPU meshes
+    ride the compute dtype: bf16 ppermute hops are fine there and the
+    fp32 workaround would double the stage-to-stage ICI bytes for a bug
+    the TPU partitioner does not have. `override` forces a dtype
+    ("float32"/"bfloat16") for A/B or if a TPU partitioner regression
+    ever surfaces."""
+    if override != "auto":
+        return jnp.dtype(override)
+    if compute_dt == jnp.bfloat16 and platform == "cpu":
+        return jnp.dtype(jnp.float32)
+    return jnp.dtype(compute_dt)
 
 
 def make_pipeline_loss_fn(
@@ -66,6 +109,7 @@ def make_pipeline_loss_fn(
     policy: Policy = DEFAULT_POLICY,
     attn_impl: str = "xla",
     ce_chunks: int = 1,
+    transport: str = "auto",
 ):
     """Loss for a PIPELINED train step, shaped for train.step.make_train_step:
     ``loss_fn(params, {"x": ids, "y": targets})`` — token embedding and the
@@ -88,7 +132,7 @@ def make_pipeline_loss_fn(
         h = pipeline_run_blocks(
             params["blocks"], x, cfg, mesh,
             axis_name=axis_name, n_micro=n_micro, policy=policy,
-            attn_impl=attn_impl,
+            attn_impl=attn_impl, transport=transport,
         )
         h = layer_norm(h, params["lnf"]["scale"], params["lnf"]["bias"])
         return fused_ce_loss(
@@ -108,6 +152,7 @@ def pipeline_run_blocks(
     n_micro: int = 2,
     policy: Policy = DEFAULT_POLICY,
     attn_impl: str = "xla",
+    transport: str = "auto",
 ):
     """Run the decoder blocks over embedded inputs x (B, T, C), with layers
     sharded into pipeline stages on `axis_name` and the batch split into
@@ -126,17 +171,13 @@ def pipeline_run_blocks(
             {"blocks": block_params}, x, cfg, policy=policy,
             attn_impl=attn_impl,
         )
-    # bf16 collectives under the partial-manual shard_map crash XLA:CPU's
-    # SPMD partitioner ("Invalid binary instruction opcode copy", jax
-    # 0.9.0 — minimal repro bisected in ROUND_NOTES r3), and the crash
-    # reaches beyond the final psum: the shard_map TRANSPOSE inserts
-    # cotangent psums for every pipe-invariant input. So the pipeline
-    # TRANSPORT (scan carries, ppermute payloads, output accumulator,
-    # psums and their transposes) rides fp32; each stage casts to the
-    # compute dtype on entry and back on exit. Blocks still compute bf16;
-    # the extra casts are per-stage, not per-layer.
+    # transport dtype: fp32 on CPU meshes when compute is bf16 (XLA:CPU
+    # partitioner crash workaround), the compute dtype on TPU — see
+    # transport_dtype above
     compute_dt = x.dtype
-    tdt = jnp.float32 if compute_dt == jnp.bfloat16 else compute_dt
+    tdt = transport_dtype(
+        compute_dt, mesh.devices.flat[0].platform, transport
+    )
     xm = x.reshape(n_micro, b // n_micro, *x.shape[1:]).astype(tdt)
     ticks = n_micro + n_stage - 1
     perm = [(i, (i + 1) % n_stage) for i in range(n_stage)]
@@ -185,8 +226,8 @@ def pipeline_run_blocks(
             tick, (recv0, acc0), jnp.arange(ticks)
         )
         # only the last stage holds real outputs; psum replicates them
-        # (exact: every shard is either the value or zeros, so this sum
-        # is a selection — and it rides tdt, never bf16, see above)
+        # (exact in ANY dtype: every shard is either the value or zeros,
+        # so this sum is a selection, not an accumulation)
         acc = jnp.where(s == n_stage - 1, acc, jnp.zeros_like(acc))
         return jax.lax.psum(acc, axis_name)
 

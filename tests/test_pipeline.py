@@ -63,7 +63,7 @@ def test_pipeline_grads_match():
         )
 
 
-def _pp_train_setup(mesh, axis_name="pipe", n_micro=2):
+def _pp_train_setup(mesh, axis_name="pipe", n_micro=2, tp=False):
     from jax.sharding import NamedSharding
     from gpt2_vision_language_tpu.core.config import (
         OptimizerConfig,
@@ -92,7 +92,7 @@ def _pp_train_setup(mesh, axis_name="pipe", n_micro=2):
         lf, OptimizerConfig(), sched, decay_mask=gpt2.decay_mask(params),
         donate=False,
     )
-    pspecs = pipeline_param_pspecs(params, axis_name)
+    pspecs = pipeline_param_pspecs(params, axis_name, tp=tp)
     place = jax.tree.map(
         lambda p, s: jax.device_put(p, NamedSharding(mesh, s)), params, pspecs
     )
@@ -156,6 +156,46 @@ def test_pipeline_train_step_pp_x_dp():
         )
 
 
+def test_pipeline_train_step_pp_x_tp():
+    """pp x tp x dp (VERDICT r3 #9): a ('data', 'pipe', 'model') = (2, 2, 2)
+    mesh with layers stage-sharded on pipe AND Megatron column/row sharding
+    on model inside each stage (shard_map manual over pipe only; GSPMD
+    auto-inserts the TP all-reduces per tick). Trajectory must match the
+    single-device step."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from gpt2_vision_language_tpu.train.optimizer import adamw_init
+
+    assert jax.device_count() >= 8
+    mesh = make_mesh(8, ("data", "pipe", "model"), shape=(2, 2, 2))
+    params, place, batch, ref_step, pp_step = _pp_train_setup(
+        mesh, n_micro=2, tp=True
+    )
+    # block weights really carry BOTH axes: (L, C, 3C) wqkv splits L on
+    # pipe and 3C on model
+    w = place["blocks"]["attn"]["wqkv"]
+    ss = w.sharding.shard_shape(w.shape)
+    assert ss[0] == w.shape[0] // 2 and ss[2] == w.shape[2] // 2
+    batch = jax.tree.map(
+        lambda a: jax.device_put(a, NamedSharding(mesh, P(None, "data"))),
+        batch,
+    )
+    s_ref, s_pp = adamw_init(params), adamw_init(place)
+    p_ref, p_pp = params, place
+    for i in range(2):
+        p_ref, s_ref, m_ref = ref_step(p_ref, s_ref, batch, jnp.int32(i))
+        p_pp, s_pp, m_pp = pp_step(p_pp, s_pp, batch, jnp.int32(i))
+        np.testing.assert_allclose(
+            float(m_pp["loss"]), float(m_ref["loss"]), rtol=2e-5
+        )
+        np.testing.assert_allclose(
+            float(m_pp["grad_norm"]), float(m_ref["grad_norm"]), rtol=1e-3
+        )
+    for a, b in zip(jax.tree.leaves(p_pp), jax.tree.leaves(p_ref)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
+        )
+
+
 def test_pipeline_microbatch_counts():
     """More microbatches (smaller bubbles) must not change the result."""
     assert jax.device_count() >= 4
@@ -205,3 +245,19 @@ def test_pipeline_bf16_policy_compiles_and_grads():
     g = jax.jit(jax.grad(lf))(place, micro)
     assert all(np.all(np.isfinite(np.asarray(l, np.float32)))
                for l in jax.tree.leaves(g))
+
+
+def test_transport_dtype_selection():
+    """Platform-conditional transport (VERDICT r3 #8): CPU meshes upcast
+    bf16 transport to fp32 (partitioner crash workaround), TPU meshes ride
+    the compute dtype (halving stage-to-stage ICI bytes), and an explicit
+    override wins everywhere."""
+    import jax.numpy as jnp
+    from gpt2_vision_language_tpu.parallel.pipeline import transport_dtype
+
+    assert transport_dtype(jnp.bfloat16, "cpu") == jnp.float32
+    assert transport_dtype(jnp.bfloat16, "tpu") == jnp.bfloat16
+    assert transport_dtype(jnp.float32, "cpu") == jnp.float32
+    assert transport_dtype(jnp.float32, "tpu") == jnp.float32
+    assert transport_dtype(jnp.bfloat16, "tpu", "float32") == jnp.float32
+    assert transport_dtype(jnp.bfloat16, "cpu", "bfloat16") == jnp.bfloat16
