@@ -33,8 +33,22 @@ def sample_top_k(rng, logits, k: int = 50, temperature: float = 1.0):
 def sample_top_p(rng, logits, p: float = 0.9, temperature: float = 0.8):
     logits = logits.astype(jnp.float32) / temperature
     probs = jax.nn.softmax(logits, axis=-1)
-    sort_idx = jnp.argsort(-probs, axis=-1)
-    sorted_probs = jnp.take_along_axis(probs, sort_idx, axis=-1)
+    # One stable key-value sort yields BOTH the descending probs and their
+    # indices. The naive jnp.argsort(-probs) + take_along_axis(probs, idx)
+    # spelling costs a full (B, V) gather on top of the sort, and TPU
+    # gathers run element-wise on the scalar core: profiled at 24.3 ms per
+    # decode step for (50, 50304) vs ~3 ms for the sort itself — 75% of
+    # the entire decode step (tools/profile_trace.py decode, r4). Ordering
+    # is bit-identical: same negated keys, same stable tie-break by index.
+    neg, sort_idx = jax.lax.sort_key_val(
+        -probs,
+        jnp.broadcast_to(
+            jnp.arange(probs.shape[-1], dtype=jnp.int32), probs.shape
+        ),
+        dimension=-1,
+        is_stable=True,
+    )
+    sorted_probs = -neg
     cum = jnp.cumsum(sorted_probs, axis=-1)
     # reference cutoff semantics (gpt2_linear/data.py:119-121): drop tokens
     # whose PRECEDING cumulative mass already exceeds p; always keep rank 0.

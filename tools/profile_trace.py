@@ -27,6 +27,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def parse_trace(tmpdir, min_ms=0.02):
+    """Per-op EXCLUSIVE device time from the 'XLA Ops' thread.
+
+    Events on that thread nest (a `while` span covers every op of its
+    body), so naive duration sums double-count control flow: the r4 decode
+    trace read "while 50% / fusion 41%" when the real story was one gather
+    fusion at 75%. A nesting stack subtracts each child's duration from
+    its parent, keeps individual op names (fusion.199 != fusion.200 — the
+    .N suffix IS the identity), and keeps each op's `long_name` HLO +
+    `source` file:line for attribution."""
     paths = glob.glob(os.path.join(tmpdir, "**", "*.trace.json.gz"),
                       recursive=True)
     assert paths, f"no trace under {tmpdir}"
@@ -42,29 +51,52 @@ def parse_trace(tmpdir, min_ms=0.02):
                  if e.get("ph") == "M" and e.get("name") == "thread_name"}
     op_tids = {(p, t) for (p, t), n in tid_names.items()
                if p in dev_pids and "XLA Ops" in n}
-    per_op = collections.Counter()
-    total = 0.0
-    for e in events:
-        if e.get("ph") != "X" or (e.get("pid"), e.get("tid")) not in op_tids:
-            continue
-        ms = e.get("dur", 0) / 1e3
-        total += ms
-        # group: strip fusion numbering / .N suffixes for stable buckets
+    ops = sorted(
+        (e for e in events
+         if e.get("ph") == "X" and (e.get("pid"), e.get("tid")) in op_tids),
+        key=lambda e: e["ts"],
+    )
+    excl = collections.Counter()
+    count = collections.Counter()
+    meta = {}
+    stack = []  # (end_ts, name) — events on one thread nest properly
+    for e in ops:
+        ts, dur = e["ts"], e.get("dur", 0)
+        while stack and stack[-1][0] <= ts:
+            stack.pop()
+        if stack:
+            excl[stack[-1][1]] -= dur / 1e3
         name = e["name"]
-        name = re.sub(r"\.\d+", "", name)
-        per_op[name] += ms
-    return per_op, total
+        excl[name] += dur / 1e3
+        count[name] += 1
+        if name not in meta:
+            a = e.get("args", {})
+            meta[name] = {
+                "hlo": a.get("long_name", "")[:160],
+                "source": a.get("source", ""),
+                "category": a.get("hlo_category", ""),
+            }
+        stack.append((ts + dur, name))
+    total = sum(excl.values())
+    return excl, count, meta, total
 
 
-def print_table(per_op, total, top=40):
-    print(f"\n{'device ms':>10}  {'%':>6}  op group")
+def print_table(excl, count, meta, total, top=30):
+    print(f"\n{'device ms':>10}  {'%':>6}  {'n':>6}  op [category] source")
     shown = 0.0
-    for name, ms in per_op.most_common(top):
-        if ms < 0.01 * total and shown / max(total, 1e-9) > 0.97:
+    for name, ms in excl.most_common(top):
+        if ms < 0.005 * total and shown / max(total, 1e-9) > 0.97:
             break
-        print(f"{ms:10.3f}  {100*ms/total:6.2f}  {name[:110]}")
+        m = meta.get(name, {})
+        src = m.get("source", "")
+        src = re.sub(r"^/root/repo/", "", src)
+        print(f"{ms:10.3f}  {100*ms/total:6.2f}  {count[name]:6d}  "
+              f"{name[:46]} [{m.get('category','')}] {src[:60]}")
         shown += ms
-    print(f"{total:10.3f}  100.00  TOTAL device time")
+    print(f"{total:10.3f}  100.00  TOTAL device time (exclusive)")
+    print("\nhlo of top 8:")
+    for name, _ in excl.most_common(8):
+        print(f"  {name}: {meta.get(name, {}).get('hlo','')}")
 
 
 def run_micro(args):
