@@ -32,7 +32,7 @@ def main(argv=None):
 
     from ..core.config import GPTConfig
     from ..infer.decode import Decoder
-    from ..infer.sampling import sample_top_p
+    from ..infer.sampling import sample_top_p, sample_top_p_fast
     from ..models import gpt2
 
     cfg = GPTConfig()
@@ -42,7 +42,7 @@ def main(argv=None):
         jax.random.PRNGKey(1), (b, m, cfg.n_embd), jnp.bfloat16
     )
     prompt = jnp.asarray([[32, 4590, 286]] * b, jnp.int32)  # "A photo of"
-    dec = Decoder(cfg, sample_fn=sample_top_p)
+    dec = Decoder(cfg, sample_fn=sample_top_p_fast)
 
     out, _ = dec.generate(
         params, prompt, args.new, jax.random.PRNGKey(2), prefix_embeds=prefix

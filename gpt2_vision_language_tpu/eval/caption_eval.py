@@ -22,7 +22,7 @@ from ..core.config import BridgeConfig, GPTConfig
 from ..core.precision import Policy, DEFAULT_POLICY
 from ..data.coco import CocoClipTokensDataset
 from ..infer.decode import Decoder
-from ..infer.sampling import sample_top_p
+from ..infer.sampling import sample_top_p_fast
 from ..models import caption, gpt2
 from ..ops.pooling import pool_clip_tokens_to_33
 from .cider import CiderScorer
@@ -56,7 +56,7 @@ def evaluate_captions(
     # A Decoder owns its jit caches — callers evaluating repeatedly MUST
     # pass one in, or every eval recompiles the prefill/decode graphs
     # (measured: ~3 min per eval on the remote-compile TPU tunnel).
-    decoder = decoder or Decoder(cfg, policy=policy, sample_fn=sample_top_p)
+    decoder = decoder or Decoder(cfg, policy=policy, sample_fn=sample_top_p_fast)
     prompt_ids = tokenizer.encode(prompt)
     rng = jax.random.PRNGKey(seed)
 

@@ -1,4 +1,4 @@
-from .sampling import sample_top_k, sample_top_p, greedy
+from .sampling import sample_top_k, sample_top_p, sample_top_p_fast, greedy
 from .decode import generate, Decoder
 
-__all__ = ["sample_top_k", "sample_top_p", "greedy", "generate", "Decoder"]
+__all__ = ["sample_top_k", "sample_top_p", "sample_top_p_fast", "greedy", "generate", "Decoder"]

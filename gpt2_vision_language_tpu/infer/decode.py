@@ -35,22 +35,47 @@ class Decoder:
         *,
         policy: Policy = DEFAULT_POLICY,
         sample_fn: Callable = sample_top_k,
+        unroll_layers: bool = True,
     ):
         self.cfg = cfg
         self.policy = policy
         self.sample_fn = sample_fn
+        # unrolled layer loop: kills the per-layer cache dynamic-slice /
+        # update pairs and the per-step cache layout copies the stacked
+        # scan forces (~2 ms of the ~4 ms 124M B=50 step — profile_trace)
+        self.unroll_layers = unroll_layers
         self._prefill = jax.jit(self._prefill_impl)
+        self._prefill_cache_only = jax.jit(self._prefill_cache_only_impl)
+        # the first-token sample runs OUTSIDE the decode scan; un-jitted it
+        # executes the sampler eagerly — op-by-op dispatch that costs more
+        # wall time than the whole jitted decode loop on a remote device
+        self._first_sample = jax.jit(self._first_sample_impl)
         self._decode_loop = jax.jit(
             self._decode_loop_impl, static_argnames=("num_steps",)
         )
+
+    def _first_sample_impl(self, rng, logits):
+        rng, sub = jax.random.split(rng)
+        return rng, self.sample_fn(sub, logits)
 
     # -- prefill ------------------------------------------------------------
 
     def _prefill_impl(self, params, embeds, cache, slot, z):
         logits, cache = gpt2.forward_cached(
-            params, embeds, self.cfg, cache, slot, z=z, policy=self.policy
+            params, embeds, self.cfg, cache, slot, z=z, policy=self.policy,
+            unroll=self.unroll_layers, last_only=True,
         )
         return logits[:, -1, :], cache
+
+    def _prefill_cache_only_impl(self, params, embeds, cache, slot, z):
+        # the visual-prefix prefill discards its logits; skipping the
+        # lm_head saves a (B, M, C) x (C, V) matmul (DCE'd by XLA once the
+        # logits aren't a jit output)
+        _, cache = gpt2.forward_cached(
+            params, embeds, self.cfg, cache, slot, z=z, policy=self.policy,
+            unroll=self.unroll_layers, last_only=True,
+        )
+        return cache
 
     def prefill_tokens(self, params, ids, cache, slot, pos_offset=0, z=None):
         """Embed ids with positions pos_offset.. and prefill at `slot`."""
@@ -62,6 +87,11 @@ class Decoder:
         """Prefill raw embeddings (visual prefix: no positional embeddings)."""
         embeds = embeds.astype(self.policy.compute_dtype)
         return self._prefill(params, embeds, cache, slot, z)
+
+    def prefill_embeds_cache_only(self, params, embeds, cache, slot, z=None):
+        """Like prefill_embeds but returns only the cache (no lm_head)."""
+        embeds = embeds.astype(self.policy.compute_dtype)
+        return self._prefill_cache_only(params, embeds, cache, slot, z)
 
     # -- decode loop ----------------------------------------------------------
 
@@ -75,7 +105,8 @@ class Decoder:
             )
             embeds = embeds.astype(self.policy.compute_dtype)
             logits, cache = gpt2.forward_cached(
-                params, embeds, self.cfg, cache, slot, z=z, policy=self.policy
+                params, embeds, self.cfg, cache, slot, z=z, policy=self.policy,
+                unroll=self.unroll_layers,
             )
             rng, sub = jax.random.split(rng)
             nxt = self.sample_fn(sub, logits[:, -1, :])
@@ -115,13 +146,14 @@ class Decoder:
 
         slot = jnp.int32(0)
         if prefix_embeds is not None:
-            _, cache = self.prefill_embeds(params, prefix_embeds, cache, slot, z=z)
+            cache = self.prefill_embeds_cache_only(
+                params, prefix_embeds, cache, slot, z=z
+            )
             slot = jnp.int32(m)
         logits_last, cache = self.prefill_tokens(
             params, prompt_ids, cache, slot, pos_offset=0, z=z
         )
-        rng, sub = jax.random.split(rng)
-        first = self.sample_fn(sub, logits_last)
+        rng, first = self._first_sample(rng, logits_last)
         if max_new_tokens == 1:
             return first[:, None], cache
         rest, cache = self._decode_loop(

@@ -203,9 +203,9 @@ def generate_captions(
     top-p 0.9 — gpt2_linear/data.py:108-127)."""
     # local import: infer.decode itself imports models.gpt2 (cycle otherwise)
     from ..infer.decode import Decoder
-    from ..infer.sampling import sample_top_p
+    from ..infer.sampling import sample_top_p_fast
 
-    dec = decoder or Decoder(cfg, policy=policy, sample_fn=sample_top_p)
+    dec = decoder or Decoder(cfg, policy=policy, sample_fn=sample_top_p_fast)
     img = embed_visual(bridge_params, patch_tokens, bridge_cfg, policy=policy)
     toks, _ = dec.generate(
         gpt_params, prompt_ids, max_new_tokens, rng, prefix_embeds=img

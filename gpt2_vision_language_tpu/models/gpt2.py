@@ -618,13 +618,25 @@ def forward_cached(
     *,
     z=None,
     policy: Policy = DEFAULT_POLICY,
+    unroll: bool = False,
+    last_only: bool = False,
 ):
     """Run blocks over already-embedded inputs, reading/writing the KV cache
-    at [slot, slot+T). Returns (logits, new_cache).
+    at [slot, slot+T). Returns (logits, new_cache) — logits over all T
+    positions, or just the last one when last_only=True.
 
     Positional embeddings are the CALLER's responsibility (the caption
     prefix gets none — gpt2_linear/model.py:197-200 — while text restarts
     at position 0), which this split makes explicit.
+
+    unroll=True unrolls the layer loop. For the T=1 decode step the scan's
+    per-layer cache traffic is pure overhead: the dynamic-slice /
+    dynamic-update-slice pairs on the stacked (L, B, H, maxT, hs) cache
+    plus a layout-flip copy of BOTH cache halves per step were ~2 ms of
+    the ~4 ms post-sampler-fix step (tools/profile_trace.py decode, r4);
+    unrolled, layer access is static and XLA keeps the cache in the loop
+    carry untouched. Compile cost is per-layer but the decode body is
+    tiny — serving (infer/decode.py Decoder) defaults to unrolled.
     """
 
     def body(x, xs):
@@ -654,8 +666,15 @@ def forward_cached(
         return x, (kc, vc)
 
     x, (ks, vs) = jax.lax.scan(
-        body, embeds, (params["blocks"], cache["k"], cache["v"])
+        body,
+        embeds,
+        (params["blocks"], cache["k"], cache["v"]),
+        unroll=cfg.n_layer if unroll else 1,
     )
+    if last_only:
+        # decode/prefill only ever consumes logits[:, -1]; slicing before
+        # the lm_head drops (T-1)/T of the (T, C) x (C, V) matmul
+        x = x[:, -1:, :]
     logits = lm_head(params, x, cfg, policy=policy)
     return logits, {"k": ks, "v": vs}
 

@@ -234,9 +234,9 @@ def run_finetune(
         is_master=master,
     )
     from ..infer.decode import Decoder
-    from ..infer.sampling import sample_top_p
+    from ..infer.sampling import sample_top_p_fast
 
-    cider_decoder = Decoder(model_cfg, policy=policy, sample_fn=sample_top_p)
+    cider_decoder = Decoder(model_cfg, policy=policy, sample_fn=sample_top_p_fast)
 
     max_steps = max_steps_override or cfg.schedule.max_steps
     val_loss = float("nan")

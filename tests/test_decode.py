@@ -93,3 +93,77 @@ def test_topp_cutoff_semantics():
     logits = jnp.asarray([[10.0] + [0.0] * 63])
     picks = {int(sample_top_p(jax.random.PRNGKey(i), logits)[0]) for i in range(20)}
     assert picks == {0}
+
+
+def test_topp_fast_kept_set_matches_sorted():
+    """sample_top_p_fast (bisection threshold, no sort) must keep exactly
+    the sorted path's nucleus on random logits and on exact ties; a single
+    boundary-token difference is tolerated only when the cumulative mass
+    lands within float rounding of p (documented in sampling.py)."""
+    from gpt2_vision_language_tpu.infer.sampling import sample_top_p_fast
+
+    def kept_sorted(probs, p):
+        neg, idx = jax.lax.sort_key_val(
+            -probs,
+            jnp.broadcast_to(jnp.arange(probs.shape[-1]), probs.shape),
+            dimension=-1,
+            is_stable=True,
+        )
+        cum = jnp.cumsum(-neg, axis=-1)
+        cut = jnp.concatenate(
+            [jnp.zeros_like(cum[..., :1], bool), (cum > p)[..., :-1]], -1
+        )
+        return [
+            frozenset(
+                int(i)
+                for i, c in zip(np.asarray(idx[b]), np.asarray(cut[b]))
+                if not c
+            )
+            for b in range(probs.shape[0])
+        ]
+
+    def kept_fast(probs, p):
+        b, v = probs.shape
+        mass_above = lambda t: jnp.sum(
+            jnp.where(probs > t[:, None], probs, 0.0), axis=-1
+        )
+        lo = jnp.zeros((b,), jnp.int32)
+        hi = jnp.full((b,), jnp.float32(1.0).view(jnp.int32), jnp.int32)
+
+        def body(_, lohi):
+            lo, hi = lohi
+            mid = (lo + hi) // 2
+            th = mass_above(mid.view(jnp.float32)) <= p
+            return (jnp.where(th, lo, mid), jnp.where(th, mid, hi))
+
+        lo, hi = jax.lax.fori_loop(0, 31, body, (lo, hi))
+        vb = hi.view(jnp.float32)[:, None]
+        g = mass_above(hi.view(jnp.float32))[:, None]
+        eq = probs == vb
+        kb = jnp.cumsum(eq, axis=-1) - eq
+        keep = (probs > vb) | (eq & (g + kb * vb <= p))
+        return [
+            frozenset(np.nonzero(np.asarray(keep[i]))[0].tolist())
+            for i in range(b)
+        ]
+
+    rng = np.random.RandomState(7)
+    for trial in range(30):
+        v = int(rng.choice([16, 257, 2048]))
+        logits = rng.randn(2, v).astype(np.float32) * float(
+            rng.choice([0.1, 1.0, 5.0])
+        )
+        if trial % 3 == 0:
+            logits = np.round(logits * 2) / 2  # exact ties
+        p = float(rng.choice([0.1, 0.9, 0.99]))
+        probs = jax.nn.softmax(jnp.asarray(logits) / 0.8, axis=-1)
+        for a, b in zip(kept_sorted(probs, p), kept_fast(probs, p)):
+            assert len(a ^ b) <= 1, (trial, len(a), len(b), a ^ b)
+
+    # the dominant-token corner: identical picks to sample_top_p
+    logits = jnp.asarray([[10.0] + [0.0] * 63])
+    picks = {
+        int(sample_top_p_fast(jax.random.PRNGKey(i), logits)[0])
+        for i in range(20)
+    }
+    assert picks == {0}

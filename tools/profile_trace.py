@@ -138,10 +138,10 @@ def run_micro(args):
         for _ in range(args.steps):
             l, gsum = fn(params, x, y, gsum)
         _ = float(l)
-    per_op, total = parse_trace(tmpdir)
+    excl, count, meta, total = parse_trace(tmpdir)
     print(f"\n=== pretrain micro (B=8 T=1024, {args.steps} micros) ===")
     print(f"per-micro device time: {total/args.steps:.3f} ms")
-    print_table(per_op, total)
+    print_table(excl, count, meta, total)
 
 
 def run_decode(args):
@@ -153,7 +153,7 @@ def run_decode(args):
 
     from gpt2_vision_language_tpu.core.config import GPTConfig
     from gpt2_vision_language_tpu.infer.decode import Decoder
-    from gpt2_vision_language_tpu.infer.sampling import sample_top_p
+    from gpt2_vision_language_tpu.infer.sampling import sample_top_p, sample_top_p_fast
     from gpt2_vision_language_tpu.models import gpt2
 
     cfg = GPTConfig()
@@ -163,7 +163,10 @@ def run_decode(args):
             lambda x: x.astype(jnp.bfloat16), init()))()
     else:
         params = jax.jit(init)()
-    dec = Decoder(cfg, sample_fn=sample_top_p)
+    dec = Decoder(
+        cfg,
+        sample_fn=sample_top_p_fast if args.sampler == 'fast' else sample_top_p,
+    )
     b, m = args.batch, 33
     rng = np.random.RandomState(0)
     prefix = jnp.asarray(rng.randn(b, m, cfg.n_embd), jnp.float32)
@@ -183,7 +186,7 @@ def run_decode(args):
             prefix_embeds=prefix,
         )
         _ = np.asarray(toks)
-    per_op, total = parse_trace(tmpdir)
+    excl, count, meta, total = parse_trace(tmpdir)
     n_steps = args.new - 1
     print(f"\n=== decode (B={b}, prefix 33+3, {args.new} new, "
           f"params {args.param_dtype}) ===")
@@ -195,7 +198,7 @@ def run_decode(args):
           f"819 GB/s; cache {cbytes/1e6:.1f} MB -> {cbytes/819e9*1e3:.3f} ms")
     print(f"measured: {total:.3f} ms total, "
           f"~{total/ (n_steps + 2):.3f} ms per step incl. prefills")
-    print_table(per_op, total)
+    print_table(excl, count, meta, total)
 
 
 def main():
@@ -208,6 +211,8 @@ def main():
     p2.add_argument("--new", type=int, default=24)
     p2.add_argument("--param-dtype", default="float32",
                     choices=["float32", "bfloat16"])
+    p2.add_argument("--sampler", default="fast", choices=["fast", "sorted"],
+                    help="fast = serving default (bisection top-p)")
     args = ap.parse_args()
     (run_micro if args.cmd == "micro" else run_decode)(args)
 
