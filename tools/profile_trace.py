@@ -109,7 +109,8 @@ def run_micro(args):
     from gpt2_vision_language_tpu.core.config import GPTConfig
     from gpt2_vision_language_tpu.models import gpt2
 
-    cfg = GPTConfig()
+    # bench.py's exact config: unrolled layer loop, no remat, ce_chunks=1
+    cfg = GPTConfig(unroll_layers=True)
     params = jax.jit(
         lambda: jax.tree.map(
             lambda x: x.astype(jnp.bfloat16),
@@ -119,7 +120,7 @@ def run_micro(args):
 
     def micro_grad(p, x, y, gsum):
         def loss_fn(p):
-            return gpt2.loss(p, x, cfg, targets=y, remat=False)
+            return gpt2.loss(p, x, cfg, targets=y, remat=False, ce_chunks=1)
 
         l, g = jax.value_and_grad(loss_fn)(p)
         gsum = jax.tree.map(lambda a, b: a + b.astype(a.dtype), gsum, g)
