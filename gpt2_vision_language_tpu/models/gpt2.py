@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from ..core.config import GPTConfig
 from ..core.precision import Policy, DEFAULT_POLICY
 from ..ops.attention import sdpa
+from ..ops.flash_attention import flash_attention_dt
 from ..ops.layers import embed, gelu_tanh, layer_norm, linear
 
 # ---------------------------------------------------------------------------
@@ -118,19 +119,73 @@ def _merge_heads(x):
     return x.transpose(0, 2, 1, 3).reshape(b, t, h * hs)
 
 
+def _use_dt_attention(attn_impl: str, t: int, hs: int) -> bool:
+    """Route to the zero-transpose dt flash path when the flash kernel
+    would run anyway (sdpa's 'auto' rule) and the shape qualifies."""
+    if attn_impl not in ("auto", "flash"):
+        return False
+    from ..ops import attention as _att
+    from ..ops import flash_attention as _fa
+
+    if not (_att._on_tpu() or _fa.FORCE_INTERPRET):
+        return False
+    if attn_impl == "auto" and t < 512:  # sdpa's measured flash threshold
+        return False
+    return _fa.dt_eligible(t, t, hs)
+
+
+def _self_attention_dt(p, x, cfg: GPTConfig, *, policy: Policy):
+    """Causal self-attention on the dt (head-major, time-in-lanes) path.
+
+    The QKV projection is computed as dot_general(w_qkv, x) -> (3C, B, T),
+    which reshapes for FREE into the (3, H, hs, B*T) layout the dt flash
+    kernel consumes — the (B,T,H,hs)<->(B,H,T,hs) head transposes and
+    their tile-padding copies (3.8 ms/micro at the 124M bench shape)
+    disappear, and the kernel's tiles are 100% lane-dense (see
+    ops/flash_attention.py dt section). The output projection consumes
+    the (C, B*T) attention output the same way: dot_general(o, w_o) ->
+    (B*T, C). Numerics match self_attention up to f32-accumulation
+    reduction order (same dots, different operand orders).
+    """
+    b, t, c = x.shape
+    hs = c // cfg.n_head
+    # Merge (B, T) BEFORE the matmul: leading-dim merges are free on TPU
+    # tiled layouts, trailing-dim merges are physical relayouts — emitting
+    # (3C, B, T) and reshaping to (3C, B*T) after cost ~2.2 ms/micro in
+    # copies (r4 trace). (3C, B*T) reshapes to (3, H, hs, B*T) for free
+    # (leading split).
+    xb = policy.cast_compute(x).reshape(b * t, c)
+    qkv = jax.lax.dot_general(
+        policy.cast_compute(p["wqkv"]), xb, (((0,), (1,)), ((), ())),
+        preferred_element_type=policy.accum_dtype,
+    )  # (3C, B*T)
+    qkv = qkv + p["bqkv"].astype(policy.accum_dtype)[:, None]
+    qkv = qkv.astype(policy.compute_dtype).reshape(3, cfg.n_head, hs, b * t)
+    y = flash_attention_dt(qkv[0], qkv[1], qkv[2], b=b, causal=True)
+    out = jax.lax.dot_general(
+        y.reshape(c, b * t), policy.cast_compute(p["wo"]),
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=policy.accum_dtype,
+    )  # (B*T, C)
+    out = out + p["bo"].astype(policy.accum_dtype)
+    return out.astype(x.dtype).reshape(b, t, c)
+
+
 def self_attention(p, x, cfg: GPTConfig, *, policy: Policy, attn_impl: str):
     """Causal self-attention with fused QKV (train_gpt2.py:33-43).
 
     Heads are kept in the (B, T, H, hs) layout the fused projection
     yields for free. The einsum path (caption/cross-attn/CPU) consumes it
-    with no (B, H, T, hs) transpose; the flash path still transposes
-    INTERNALLY (Mosaic cannot lower per-head tiled access — see
-    ops/flash_attention.py bthd notes), so the pretrain hot path keeps
-    its ~1.6 ms/micro of head copies for now."""
+    with no (B, H, T, hs) transpose; the flash path routes to the dt
+    (head-major) kernels when the shape qualifies — zero head transposes
+    AND denser tiles (see _self_attention_dt) — and otherwise transposes
+    into the bhtd kernels."""
     b, t, c = x.shape
+    hs = c // cfg.n_head
+    if _use_dt_attention(attn_impl, t, hs):
+        return _self_attention_dt(p, x, cfg, policy=policy)
     qkv = linear(x, p["wqkv"], p["bqkv"], policy=policy)
     q, k, v = jnp.split(qkv, 3, axis=-1)
-    hs = c // cfg.n_head
     q, k, v = (a.reshape(b, t, cfg.n_head, hs) for a in (q, k, v))
     y = sdpa(
         policy.cast_compute(q),

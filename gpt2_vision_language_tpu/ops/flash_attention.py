@@ -782,6 +782,310 @@ def flash_attention_with_lse(
     )
 
 
+# ---------------------------------------------------------------------------
+# dt layout: head-major, time-in-lanes — the zero-transpose pretrain path
+# ---------------------------------------------------------------------------
+#
+# The bhtd kernels above tile q/k/v/o as (block, hs) — with hs=64 that is
+# HALF a (8, 128) lane tile, so Mosaic pads every load/store/VPU op on
+# them to 128 lanes (50% density), and the head split/merge transposes
+# outside pay the same padding (3.8 ms/micro at the 124M bench shape —
+# ROUND_NOTES r4 itemization). The dt kernels transpose the whole problem
+# instead: arrays are (H, hs, B*T) with per-batch contiguous time slabs,
+# tiles are (hs sublanes, time lanes) — 100% dense both ways — and the
+# layout is exactly what a head-major QKV projection
+# ``dot_general(w_qkv, x) -> (3C, B, T)`` yields after a FREE reshape, so
+# the model-side head transposes disappear entirely (models/gpt2.py
+# _self_attention_dt). Softmax stats reduce over axis 0 (sublanes) into
+# (1, t) lane rows, which broadcast over the (hs, t) accumulator for free
+# (the lane-replication trick of _fwd_step, transposed).
+#
+# Measured (v5e-1, B=8 H=12 T=1024 hs=64 bf16, device time per layer):
+# fwd 0.321 ms vs 0.436 bhtd, fused bwd 0.468 ms vs 0.70-0.86 bhtd — and
+# the 3.8 ms/micro of model-side layout ops go to zero (tools/ab_dt_flash).
+#
+# Scope: self-attention shapes — Tq == Tk, T a multiple of 128, pow2
+# head_dim (scale folds into q losslessly), K/V VMEM-resident (T <= ~8k).
+# Everything else falls back to the bhtd kernels.
+
+DT_SUBL = 8  # f32 sublane tile height (stat rows are kept replicated)
+DT_MAX_T = 8192  # resident K/V + fused-bwd VMEM budget bound
+
+
+def _dt_block(t: int, want: int) -> int:
+    """Largest multiple of 128 that divides t and is <= want."""
+    b = min(want, t)
+    while b > 128 and t % b:
+        b -= 128
+    return b
+
+
+def dt_eligible(tq: int, tk: int, hs: int) -> bool:
+    """Can flash_attention_dt run this self-attention shape?"""
+    return (
+        tq == tk
+        and tq % 128 == 0
+        and 128 <= tq <= DT_MAX_T
+        and hs & (hs - 1) == 0  # pow2: lossless scale fold
+        and _is_pow2(1.0 / (hs**0.5))
+    )
+
+
+def _rep_sub(stat, rows):
+    """Broadcast a sublane-replicated (DT_SUBL, t) stat to `rows` sublanes."""
+    if rows <= DT_SUBL:
+        return stat[:rows, :]
+    return jnp.tile(stat, (rows // DT_SUBL, 1))
+
+
+def _fwd_dt_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, bq, bk, tk,
+                   causal):
+    """Grid (H, B, nq); K/V for one (h, b) VMEM-resident.
+
+    Blocks: q/o (1, hs, bq), k/v (1, hs, tk), lse (1, DT_SUBL, bq).
+    s = k^T q is (bk, bq): softmax reductions run over sublanes and the
+    resulting (1, bq) rows broadcast over the (hs, bq) accumulator.
+    """
+    iq = pl.program_id(2)
+    q = q_ref[0]  # (hs, bq); scale pre-folded by the wrapper
+    hs = q.shape[0]
+    num_kv = ((iq + 1) * bq - 1) // bk + 1 if causal else tk // bk
+    if causal:
+        num_kv = jnp.minimum(num_kv, tk // bk)
+
+    def step(j, carry):
+        acc, m, l = carry
+        k = k_ref[0, :, pl.ds(j * bk, bk)]  # (hs, bk)
+        v = v_ref[0, :, pl.ds(j * bk, bk)]
+        s = jax.lax.dot_general(
+            k, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (bk, bq)
+        if causal:
+            kpos = jax.lax.broadcasted_iota(jnp.int32, (bk, bq), 0) + j * bk
+            qpos = jax.lax.broadcasted_iota(jnp.int32, (bk, bq), 1) + iq * bq
+            s = jnp.where(qpos >= kpos, s, NEG_INF)
+        m_new = jnp.maximum(
+            m, _rep_sub(jnp.max(s, axis=0, keepdims=True), DT_SUBL)
+        )
+        p = jnp.exp(s - _rep_sub(m_new, s.shape[0]))
+        corr = jnp.exp(m - m_new)
+        l = l * corr + _rep_sub(jnp.sum(p, axis=0, keepdims=True), DT_SUBL)
+        pv = jax.lax.dot_general(
+            v, p.astype(v.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (hs, bq)
+        return acc * _rep_sub(corr, hs) + pv, m_new, l
+
+    acc0 = jnp.zeros((hs, bq), jnp.float32)
+    m0 = jnp.full((DT_SUBL, bq), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((DT_SUBL, bq), jnp.float32)
+    acc, m, l = jax.lax.fori_loop(0, num_kv, step, (acc0, m0, l0))
+    o_ref[0] = (acc / _rep_sub(l, hs)).astype(o_ref.dtype)
+    lse_ref[0] = m + jnp.log(l)
+
+
+def _bwd_dt_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dcap_ref,
+                   dq_ref, dk_ref, dv_ref, dq_acc, *, bq, bk, tq, tk,
+                   causal):
+    """Fused single-pass dt backward: grid (H, B), everything resident.
+
+    Transposed mirror of _bwd_kernel_fused: s/p/ds live (bk, bq);
+    lse/dcap are (1, bq) lane rows (sublane broadcasts are free); dk/dv
+    accumulate (hs, bk) in registers per kv tile; dq accumulates
+    (hs, tq) in an fp32 VMEM scratch. q arrives pre-scaled; the wrapper
+    scales q OUTSIDE the custom_vjp so dq needs no in-kernel rescale.
+    """
+    hs = q_ref.shape[1]
+    nq, nk = tq // bq, tk // bk
+    dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    def kv_tile(jk, carry_unused):
+        k = k_ref[0, :, pl.ds(jk * bk, bk)]
+        v = v_ref[0, :, pl.ds(jk * bk, bk)]
+        start_q = (jk * bk) // bq if causal else 0
+
+        def q_tile(i, carry):
+            dk, dv = carry
+            sl = pl.ds(i * bq, bq)
+            q = q_ref[0, :, sl]
+            do = do_ref[0, :, sl].astype(jnp.float32)
+            lse = lse_ref[0, 0:1, sl]
+            dcap = dcap_ref[0, 0:1, sl]
+            s = jax.lax.dot_general(
+                k, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (bk, bq)
+            if causal:
+                kpos = jax.lax.broadcasted_iota(jnp.int32, (bk, bq), 0) \
+                    + jk * bk
+                qpos = jax.lax.broadcasted_iota(jnp.int32, (bk, bq), 1) \
+                    + i * bq
+                s = jnp.where(qpos >= kpos, s, NEG_INF)
+            p = jnp.exp(s - lse)  # lse row sublane-broadcasts over bk
+            dv = dv + jax.lax.dot_general(
+                do, p.astype(do.dtype), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (hs, bk)
+            dp = jax.lax.dot_general(
+                v, do.astype(v.dtype), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (bk, bq)
+            ds = p * (dp - dcap)
+            dk = dk + jax.lax.dot_general(
+                q, ds.astype(q.dtype), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (hs, bk)
+            dq_acc[:, sl] += jax.lax.dot_general(
+                k, ds.astype(k.dtype), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (hs, bq)
+            return dk, dv
+
+        dk0 = jnp.zeros((hs, bk), jnp.float32)
+        dv0 = jnp.zeros((hs, bk), jnp.float32)
+        dk, dv = jax.lax.fori_loop(start_q, nq, q_tile, (dk0, dv0))
+        ksl = pl.ds(jk * bk, bk)
+        dk_ref[0, :, ksl] = dk.astype(dk_ref.dtype)
+        dv_ref[0, :, ksl] = dv.astype(dv_ref.dtype)
+        return carry_unused
+
+    jax.lax.fori_loop(0, nk, kv_tile, 0)
+    dq_ref[0] = dq_acc[...].astype(dq_ref.dtype)
+
+
+def _fwd_dt(q, k, v, *, b, t, causal, bq, bk, interpret):
+    h, hs, _ = q.shape
+    nq = t // bq
+    return pl.pallas_call(
+        functools.partial(_fwd_dt_kernel, bq=bq, bk=bk, tk=t, causal=causal),
+        grid=(h, b, nq),
+        in_specs=[
+            pl.BlockSpec((1, hs, bq), lambda hh, bb, iq: (hh, 0, bb * nq + iq)),
+            pl.BlockSpec((1, hs, t), lambda hh, bb, iq: (hh, 0, bb)),
+            pl.BlockSpec((1, hs, t), lambda hh, bb, iq: (hh, 0, bb)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, hs, bq), lambda hh, bb, iq: (hh, 0, bb * nq + iq)),
+            pl.BlockSpec(
+                (1, DT_SUBL, bq), lambda hh, bb, iq: (hh, 0, bb * nq + iq)
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((h, hs, b * t), q.dtype),
+            jax.ShapeDtypeStruct((h, DT_SUBL, b * t), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=(2 if causal else 4) * h * b * t * t * hs,
+            bytes_accessed=(h * b * 3 * t * hs) * q.dtype.itemsize,
+            transcendentals=h * b * t * t // (2 if causal else 1),
+        ),
+    )(q, k, v)
+
+
+def _bwd_dt(q, k, v, lse, do, *, b, t, causal, bq, bk, interpret, out):
+    h, hs, _ = q.shape
+    # D_i = rowsum(dout * out): over hs = the sublane axis here.
+    dcap = jnp.sum(
+        do.astype(jnp.float32) * out.astype(jnp.float32), axis=1, keepdims=True
+    )
+    whole = lambda hh, bb: (hh, 0, bb)
+    return pl.pallas_call(
+        functools.partial(
+            _bwd_dt_kernel, bq=bq, bk=bk, tq=t, tk=t, causal=causal
+        ),
+        grid=(h, b),
+        in_specs=[
+            pl.BlockSpec((1, hs, t), whole),
+            pl.BlockSpec((1, hs, t), whole),
+            pl.BlockSpec((1, hs, t), whole),
+            pl.BlockSpec((1, hs, t), whole),
+            pl.BlockSpec((1, DT_SUBL, t), whole),
+            pl.BlockSpec((1, 1, t), whole),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, hs, t), whole),
+            pl.BlockSpec((1, hs, t), whole),
+            pl.BlockSpec((1, hs, t), whole),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((hs, t), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=(5 if causal else 10) * h * b * t * t * hs,
+            bytes_accessed=(h * b * 7 * t * hs) * q.dtype.itemsize,
+            transcendentals=h * b * t * t // (2 if causal else 1),
+        ),
+    )(q, k, v, do, lse, dcap)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash_dt(q, k, v, b, causal, bq, bk, interpret):
+    t = q.shape[2] // b
+    out, _ = _fwd_dt(
+        q, k, v, b=b, t=t, causal=causal, bq=bq, bk=bk, interpret=interpret
+    )
+    return out
+
+
+def _flash_dt_fwd(q, k, v, b, causal, bq, bk, interpret):
+    t = q.shape[2] // b
+    out, lse = _fwd_dt(
+        q, k, v, b=b, t=t, causal=causal, bq=bq, bk=bk, interpret=interpret
+    )
+    return out, (q, k, v, out, lse)
+
+
+def _flash_dt_bwd(b, causal, bq, bk, interpret, res, do):
+    q, k, v, out, lse = res
+    t = q.shape[2] // b
+    return _bwd_dt(
+        q, k, v, lse, do, b=b, t=t, causal=causal, bq=bq, bk=bk,
+        interpret=interpret, out=out,
+    )
+
+
+_flash_dt.defvjp(_flash_dt_fwd, _flash_dt_bwd)
+
+
+def flash_attention_dt(
+    q,
+    k,
+    v,
+    *,
+    b: int,
+    causal: bool = True,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: bool = False,
+):
+    """Flash attention in the dt layout: q/k/v (H, hs, B*T), each batch's
+    T timesteps contiguous along the last axis; returns o in the same
+    layout. Tq == Tk == T with T % 128 == 0 and T <= DT_MAX_T; pow2
+    head_dim (check `dt_eligible` first — no internal fallback).
+
+    The softmax scale is folded into q OUTSIDE the custom_vjp (lossless
+    for pow2 head_dim), so autodiff applies it to dq automatically.
+    """
+    h, hs, bt = q.shape
+    assert q.shape == k.shape == v.shape and bt % b == 0
+    t = bt // b
+    assert dt_eligible(t, t, hs), (t, hs)
+    bq, bk = _dt_block(t, block_q), _dt_block(t, block_k)
+    q = q * (1.0 / hs**0.5)
+    return _flash_dt(q, k, v, b, causal, bq, bk, interpret or FORCE_INTERPRET)
+
+
 def flash_attention(
     q,
     k,

@@ -333,3 +333,103 @@ def test_auto_stream_kv_decision():
     assert _auto_stream_kv(8192, 8192, 64, 2, 512, 512)
     # long-q / short-kv cross-attention: q side alone must trigger
     assert _auto_stream_kv(8192, 64, 64, 2, 512, 512)
+
+
+# ---- round-4: dt (head-major, time-in-lanes) kernels ----
+
+
+def _to_dt(x):
+    """(B, H, T, hs) -> (H, hs, B*T) with per-b contiguous time slabs."""
+    b, h, t, hs = x.shape
+    return x.transpose(1, 3, 0, 2).reshape(h, hs, b * t)
+
+
+def _from_dt(x, b):
+    h, hs, bt = x.shape
+    return x.reshape(h, hs, b, bt // b).transpose(2, 0, 3, 1)
+
+
+@pytest.mark.parametrize("causal", [True, False])
+@pytest.mark.parametrize("t,bq,bk", [(256, 128, 128), (1024, 512, 512)])
+def test_dt_forward_matches_xla(causal, t, bq, bk):
+    from gpt2_vision_language_tpu.ops.flash_attention import flash_attention_dt
+
+    b, h, hs = 2, 3, 64
+    q, k, v = _rand_qkv(jax.random.PRNGKey(10), b, h, t, hs)
+    ref = xla_sdpa(q, k, v, causal=causal)
+    out = flash_attention_dt(
+        _to_dt(q), _to_dt(k), _to_dt(v), b=b, causal=causal,
+        block_q=bq, block_k=bk, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(_from_dt(out, b)), np.asarray(ref), atol=2e-5, rtol=2e-5
+    )
+
+
+def test_dt_grads_match_xla():
+    from gpt2_vision_language_tpu.ops.flash_attention import flash_attention_dt
+
+    b, h, t, hs = 2, 2, 256, 64
+    q, k, v = _rand_qkv(jax.random.PRNGKey(11), b, h, t, hs)
+    g = jax.random.normal(jax.random.PRNGKey(12), q.shape, jnp.float32)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(xla_sdpa(q, k, v, causal=True) * g)
+
+    def loss_dt(q, k, v):
+        o = flash_attention_dt(
+            _to_dt(q), _to_dt(k), _to_dt(v), b=b, causal=True, interpret=True
+        )
+        return jnp.sum(_from_dt(o, b) * g)
+
+    refs = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    outs = jax.grad(loss_dt, argnums=(0, 1, 2))(q, k, v)
+    for name, a, r in zip("qkv", outs, refs):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(r), atol=5e-5, rtol=5e-4,
+            err_msg=f"d{name}",
+        )
+
+
+def test_model_dt_path_loss_and_grads_match_xla():
+    """gpt2.loss + grads through the dt self-attention path (the pretrain
+    hot path on TPU) vs the einsum path — pins the head-major QKV
+    projection, the dt kernel VJP, and the head-major output projection
+    end to end."""
+    from unittest import mock
+
+    import gpt2_vision_language_tpu.ops.flash_attention as fa
+    from gpt2_vision_language_tpu.core.config import GPTConfig
+    from gpt2_vision_language_tpu.core.precision import FP32_POLICY
+    from gpt2_vision_language_tpu.models import gpt2 as G
+
+    cfg = GPTConfig(block_size=256, vocab_size=128, n_layer=2, n_head=2,
+                    n_embd=128)
+    params = G.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randint(0, 128, (2, 256)), jnp.int32)
+    y = jnp.asarray(rng.randint(0, 128, (2, 256)), jnp.int32)
+
+    def loss(p, impl):
+        return G.loss(p, x, cfg, targets=y, policy=FP32_POLICY, attn_impl=impl)
+
+    ref_l, ref_g = jax.value_and_grad(loss)(params, "xla")
+    with mock.patch.object(fa, "FORCE_INTERPRET", True):
+        # sanity: the gate actually routes to dt for this shape
+        assert G._use_dt_attention("flash", 256, 64)
+        out_l, out_g = jax.value_and_grad(loss)(params, "flash")
+    np.testing.assert_allclose(float(out_l), float(ref_l), atol=1e-5, rtol=1e-5)
+    flat_r, _ = jax.tree_util.tree_flatten(ref_g)
+    flat_o, _ = jax.tree_util.tree_flatten(out_g)
+    for a, r in zip(flat_o, flat_r):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(r), atol=3e-4, rtol=3e-3
+        )
+
+
+def test_dt_gate_falls_back_on_unaligned_t():
+    """T=65 (caption decode prefill) must NOT take the dt path."""
+    from gpt2_vision_language_tpu.models import gpt2 as G
+
+    assert not G._use_dt_attention("flash", 65, 64)
+    assert not G._use_dt_attention("xla", 1024, 64)
