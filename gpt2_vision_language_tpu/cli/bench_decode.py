@@ -22,6 +22,10 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=50)
     p.add_argument("--new", type=int, default=24)
     p.add_argument("--iters", type=int, default=5)
+    p.add_argument("--param-dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"],
+                   help="serving weight storage (bfloat16 halves the "
+                        "per-token HBM read; float32 = pre-r4 behavior)")
     p.add_argument("--uncached-baseline", action="store_true",
                    help="also measure the reference regime (slow)")
     args = p.parse_args(argv)
@@ -31,12 +35,14 @@ def main(argv=None):
     import numpy as np
 
     from ..core.config import GPTConfig
-    from ..infer.decode import Decoder
+    from ..infer.decode import Decoder, cast_decode_params
     from ..infer.sampling import sample_top_p, sample_top_p_fast
     from ..models import gpt2
 
     cfg = GPTConfig()
     params = gpt2.init(jax.random.PRNGKey(0), cfg)
+    if args.param_dtype == "bfloat16":
+        params = cast_decode_params(params)
     b, m = args.batch, 33
     prefix = jax.random.normal(
         jax.random.PRNGKey(1), (b, m, cfg.n_embd), jnp.bfloat16

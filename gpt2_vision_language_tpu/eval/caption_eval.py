@@ -21,7 +21,7 @@ import numpy as np
 from ..core.config import BridgeConfig, GPTConfig
 from ..core.precision import Policy, DEFAULT_POLICY
 from ..data.coco import CocoClipTokensDataset
-from ..infer.decode import Decoder
+from ..infer.decode import Decoder, cast_decode_params
 from ..infer.sampling import sample_top_p_fast
 from ..models import caption, gpt2
 from ..ops.pooling import pool_clip_tokens_to_33
@@ -57,6 +57,13 @@ def evaluate_captions(
     # pass one in, or every eval recompiles the prefill/decode graphs
     # (measured: ~3 min per eval on the remote-compile TPU tunnel).
     decoder = decoder or Decoder(cfg, policy=policy, sample_fn=sample_top_p_fast)
+    # Serve from compute-dtype weight storage: halves the per-token HBM
+    # read, matmul-bit-identical under the policy (no-op at fp32 policy —
+    # see cast_decode_params). One-time 0.25 GB copy per eval at 124M,
+    # repaid ~24x over by the decode loop's per-step param reads.
+    gpt_params = cast_decode_params(gpt_params, policy)
+    if bridge_params is not None:
+        bridge_params = cast_decode_params(bridge_params, policy)
     prompt_ids = tokenizer.encode(prompt)
     rng = jax.random.PRNGKey(seed)
 

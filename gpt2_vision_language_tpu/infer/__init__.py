@@ -1,4 +1,12 @@
 from .sampling import sample_top_k, sample_top_p, sample_top_p_fast, greedy
-from .decode import generate, Decoder
+from .decode import generate, Decoder, cast_decode_params
 
-__all__ = ["sample_top_k", "sample_top_p", "sample_top_p_fast", "greedy", "generate", "Decoder"]
+__all__ = [
+    "sample_top_k",
+    "sample_top_p",
+    "sample_top_p_fast",
+    "greedy",
+    "generate",
+    "Decoder",
+    "cast_decode_params",
+]

@@ -26,6 +26,41 @@ from ..models import gpt2
 from .sampling import sample_top_k
 
 
+def cast_decode_params(params, policy: Policy = DEFAULT_POLICY):
+    """Store matrix params in the compute dtype for serving.
+
+    A KV-cached decode step is bandwidth-bound: it reads every weight
+    once per token (124M fp32 = 0.50 GB/step vs a ~1 ms measured
+    transformer step — ROUND_NOTES r4 decode profile). `linear`/the dt
+    projections cast weights to `policy.compute_dtype` anyway, so
+    pre-casting the weight-matrix leaves (same name rule as
+    models/gpt2.py::decay_mask: leaves named ``w*`` plus wte/wpe — NOT
+    LayerNorm scale/bias, biases, or gates, which stay fp32 and are read
+    in fp32 epilogues) halves the per-token HBM read with matmul
+    numerics bit-identical to the fp32-stored run. The only divergence
+    is the token-embedding add (wte[ids] + wpe rounds per-operand
+    instead of after the fp32 add) — below bf16 resolution of the
+    logits.
+
+    Under an fp32-compute policy this is a no-op, so parity tests are
+    unaffected. Training params must NOT pass through this (the
+    optimizer owns master precision — train/step.py docstring).
+    """
+
+    def per_path(path, leaf):
+        if not (hasattr(leaf, "dtype")
+                and jnp.issubdtype(leaf.dtype, jnp.floating)):
+            return leaf
+        last = getattr(path[-1], "key", getattr(path[-1], "name", ""))
+        if last in ("wte", "wpe") or (
+            last.startswith("w") and last != "gate" and leaf.ndim >= 2
+        ):
+            return leaf.astype(policy.compute_dtype)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(per_path, params)
+
+
 class Decoder:
     """Reusable jitted prefill + decode-loop for a fixed config/policy."""
 

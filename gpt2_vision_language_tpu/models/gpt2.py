@@ -664,6 +664,24 @@ def _self_attention_cached(p, x, k_cache, v_cache, slot, cfg: GPTConfig, policy)
     return linear(_merge_heads(y), p["wo"], p["bo"], policy=policy), k_cache, v_cache
 
 
+def _self_attention_cached_inplace(p, x, ck, cv, layer, slot, cfg, policy):
+    """Like _self_attention_cached but scatters the new K/V rows straight
+    into the STACKED (L, B, H, maxT, hs) cache at a static layer index —
+    writes (1, B, H, T, hs) per layer instead of round-tripping the whole
+    layer cache through scan ys (see forward_cached)."""
+    qkv = linear(x, p["wqkv"], p["bqkv"], policy=policy)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q, k, v = (_split_heads(t, cfg.n_head) for t in (q, k, v))
+    ck = jax.lax.dynamic_update_slice(
+        ck, k.astype(ck.dtype)[None], (layer, 0, 0, slot, 0)
+    )
+    cv = jax.lax.dynamic_update_slice(
+        cv, v.astype(cv.dtype)[None], (layer, 0, 0, slot, 0)
+    )
+    y = _cached_sdpa(q, ck[layer], cv[layer], slot, policy)
+    return linear(_merge_heads(y), p["wo"], p["bo"], policy=policy), ck, cv
+
+
 def forward_cached(
     params,
     embeds,
@@ -684,18 +702,21 @@ def forward_cached(
     prefix gets none — gpt2_linear/model.py:197-200 — while text restarts
     at position 0), which this split makes explicit.
 
-    unroll=True unrolls the layer loop. For the T=1 decode step the scan's
-    per-layer cache traffic is pure overhead: the dynamic-slice /
-    dynamic-update-slice pairs on the stacked (L, B, H, maxT, hs) cache
-    plus a layout-flip copy of BOTH cache halves per step were ~2 ms of
-    the ~4 ms post-sampler-fix step (tools/profile_trace.py decode, r4);
-    unrolled, layer access is static and XLA keeps the cache in the loop
-    carry untouched. Compile cost is per-layer but the decode body is
-    tiny — serving (infer/decode.py Decoder) defaults to unrolled.
+    unroll=True replaces the layer scan with a static Python loop that
+    threads the STACKED cache through in-place dynamic-update-slices of
+    just the new (1, B, H, T, hs) rows. The scan version is forced by
+    scan semantics to pass the cache through xs/ys — slicing every
+    layer's cache out with a layout flip AND restacking both full cache
+    halves into fresh (L, B, H, maxT, hs) buffers EVERY call: at the
+    124M B=50 decode shape that is ~2.6 ms of a ~3.4 ms step (24 restack
+    fusions x 0.86 ms + 2 x 0.44 ms flipped reads, profile_trace r4;
+    the cache read for attention itself is only 0.14 ms at roofline).
+    Unrolled + scatter-in-place, the carry buffers are updated where
+    they live. Compile cost is per-layer but the decode body is tiny —
+    serving (infer/decode.py Decoder) defaults to unrolled.
     """
 
-    def body(x, xs):
-        lp, kc, vc = xs
+    def xblock(x, lp):
         if cfg.cross_attention and z is not None:
             xa = cross_attention(
                 lp["xattn"],
@@ -705,27 +726,46 @@ def forward_cached(
                 policy=policy,
             )
             x = x + jnp.tanh(lp["gate"]).astype(x.dtype) * xa
-        att, kc, vc = _self_attention_cached(
-            lp["attn"],
-            layer_norm(x, lp["ln1"]["scale"], lp["ln1"]["bias"]),
-            kc,
-            vc,
-            slot,
-            cfg,
-            policy,
-        )
-        x = x + att
-        x = x + mlp(
-            lp["mlp"], layer_norm(x, lp["ln2"]["scale"], lp["ln2"]["bias"]), policy=policy
-        )
-        return x, (kc, vc)
+        return x
 
-    x, (ks, vs) = jax.lax.scan(
-        body,
-        embeds,
-        (params["blocks"], cache["k"], cache["v"]),
-        unroll=cfg.n_layer if unroll else 1,
-    )
+    def tail(x, lp, att):
+        x = x + att
+        return x + mlp(
+            lp["mlp"], layer_norm(x, lp["ln2"]["scale"], lp["ln2"]["bias"]),
+            policy=policy,
+        )
+
+    if unroll:
+        x, ck, cv = embeds, cache["k"], cache["v"]
+        for l in range(cfg.n_layer):
+            lp = jax.tree.map(lambda a: a[l], params["blocks"])
+            x = xblock(x, lp)
+            att, ck, cv = _self_attention_cached_inplace(
+                lp["attn"],
+                layer_norm(x, lp["ln1"]["scale"], lp["ln1"]["bias"]),
+                ck, cv, l, slot, cfg, policy,
+            )
+            x = tail(x, lp, att)
+        ks, vs = ck, cv
+    else:
+
+        def body(x, xs):
+            lp, kc, vc = xs
+            x = xblock(x, lp)
+            att, kc, vc = _self_attention_cached(
+                lp["attn"],
+                layer_norm(x, lp["ln1"]["scale"], lp["ln1"]["bias"]),
+                kc,
+                vc,
+                slot,
+                cfg,
+                policy,
+            )
+            return tail(x, lp, att), (kc, vc)
+
+        x, (ks, vs) = jax.lax.scan(
+            body, embeds, (params["blocks"], cache["k"], cache["v"])
+        )
     if last_only:
         # decode/prefill only ever consumes logits[:, -1]; slicing before
         # the lm_head drops (T-1)/T of the (T, C) x (C, V) matmul

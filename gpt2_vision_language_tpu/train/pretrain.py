@@ -232,11 +232,13 @@ def run_pretrain(
         # stream per-layer grads into the accumulators (reverse-scan VJP,
         # models/gpt2.py::loss_grad_layerwise): cuts the accum program's
         # temp arena from ~4.05 GiB to ~1 GiB at 1558M by never
-        # materializing the stacked grads tree. Single-chip knob; the
-        # reverse scan has no sharding annotations for tp/sp yet.
-        assert cfg.tp == 1 and not cfg.seq_parallel, (
-            "layerwise_grad: tp=1, no seq_parallel"
-        )
+        # materializing the stacked grads tree. Composes with TP: GSPMD
+        # propagates the Megatron specs through the reverse scan with no
+        # manual collectives (pinned by test_sharding.py::
+        # test_layerwise_grad_tp_matches_single_device, both dispatch
+        # paths). seq_parallel's residual-stream constraint is applied in
+        # the loss fn, which this path bypasses — still excluded.
+        assert not cfg.seq_parallel, "layerwise_grad: no seq_parallel"
 
         def layerwise_fn(lw_params, micro, gsum, acc):
             x, y = split_rows_on_device(micro["rows"])

@@ -167,3 +167,62 @@ def test_topp_fast_kept_set_matches_sorted():
         for i in range(20)
     }
     assert picks == {0}
+
+
+# ---- round-4: compute-dtype (bf16) weight storage for serving ----
+
+
+def test_cast_decode_params_noop_at_fp32_policy():
+    from gpt2_vision_language_tpu.infer.decode import cast_decode_params
+
+    params = gpt2.init(jax.random.PRNGKey(0), SMALL)
+    cast = cast_decode_params(params, FP32_POLICY)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(cast), jax.tree_util.tree_leaves(params)
+    ):
+        assert a.dtype == b.dtype
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_cast_decode_params_matrix_only_and_logit_parity():
+    """bf16 storage casts matrices (incl. wte/wpe), keeps LN/biases fp32,
+    and produces prefill logits within bf16 rounding of the fp32-stored
+    run under the bf16 compute policy (matmuls are bit-identical — only
+    the embedding add rounds per-operand)."""
+    from gpt2_vision_language_tpu.core.precision import DEFAULT_POLICY
+    from gpt2_vision_language_tpu.infer.decode import cast_decode_params
+
+    params = gpt2.init(jax.random.PRNGKey(0), SMALL)
+    cast = cast_decode_params(params, DEFAULT_POLICY)
+    assert cast["wte"].dtype == jnp.bfloat16
+    assert cast["wpe"].dtype == jnp.bfloat16
+    assert cast["blocks"]["attn"]["wqkv"].dtype == jnp.bfloat16
+    assert cast["blocks"]["attn"]["bqkv"].dtype == jnp.float32
+    assert cast["blocks"]["ln1"]["scale"].dtype == jnp.float32
+    assert cast["lnf"]["bias"].dtype == jnp.float32
+
+    ids = jnp.asarray([[5, 10, 15, 2], [7, 3, 1, 9]], jnp.int32)
+    ref, _ = gpt2.apply(params, ids, SMALL, policy=DEFAULT_POLICY)
+    got, _ = gpt2.apply(cast, ids, SMALL, policy=DEFAULT_POLICY)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        atol=5e-2, rtol=5e-2,
+    )
+
+
+def test_bf16_stored_generation_matches_fp32_stored():
+    """Greedy token streams under the bf16 compute policy: bf16-stored
+    weights must reproduce the fp32-stored stream (tiny model, short
+    horizon — embedding-add rounding is far below argmax margins here)."""
+    from gpt2_vision_language_tpu.core.precision import DEFAULT_POLICY
+    from gpt2_vision_language_tpu.infer.decode import cast_decode_params
+
+    params = gpt2.init(jax.random.PRNGKey(1), SMALL)
+    prompt = jnp.asarray([[5, 10, 15]], jnp.int32)
+    dec = Decoder(SMALL, policy=DEFAULT_POLICY, sample_fn=greedy)
+    ref, _ = dec.generate(params, prompt, 8, jax.random.PRNGKey(0))
+    got, _ = dec.generate(
+        cast_decode_params(params, DEFAULT_POLICY), prompt, 8,
+        jax.random.PRNGKey(0),
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

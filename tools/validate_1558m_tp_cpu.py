@@ -11,7 +11,10 @@ multi-chip path at full model scale, executable without TPU hardware
 Usage:
   XLA_FLAGS=--xla_force_host_platform_device_count=8 \
       python tools/validate_1558m_tp_cpu.py [--seq-len 64]
-(~11 GB host RAM for two fp32 param trees + optimizer state.)
+      [--opt-state-dtype int8] [--layerwise]
+(~11 GB host RAM for two fp32 param trees + optimizer state.
+--opt-state-dtype int8 --layerwise together pin the full one-chip
+memory recipe composed with tp=4 model parallelism at 1558M scale.)
 """
 import argparse
 import sys
@@ -42,12 +45,24 @@ from gpt2_vision_language_tpu.train.optimizer import adamw_init  # noqa: E402
 from gpt2_vision_language_tpu.train.step import make_train_step  # noqa: E402
 
 
-def run_step(params, batch, cfg, mesh=None, state_dtype=None):
+def run_step(params, batch, cfg, mesh=None, state_dtype=None,
+             layerwise=False):
     def loss_fn(p, micro):
         _, l = gpt2.apply(
             p, micro["x"], cfg, targets=micro["y"], policy=FP32_POLICY
         )
         return l
+
+    lw_fn = None
+    if layerwise:
+        # the 1558M one-chip recipe's reverse-scan grad streaming
+        # (models/gpt2.py::loss_grad_layerwise) — with --tp this run pins
+        # the full memory stack composed with model parallelism
+        def lw_fn(p, micro, gsum, acc):
+            return gpt2.loss_grad_layerwise(
+                p, micro["x"], cfg, targets=micro["y"], gsum=gsum, acc=acc,
+                policy=FP32_POLICY,
+            )
 
     opt = adamw_init(params, state_dtype=state_dtype)
     if mesh is not None and state_dtype is not None:
@@ -64,6 +79,7 @@ def run_step(params, batch, cfg, mesh=None, state_dtype=None):
         ScheduleConfig(max_lr=1e-4, min_lr=1e-5, warmup_steps=2, max_steps=10),
         decay_mask=gpt2.decay_mask(params),
         donate=False,  # params are reused for the second (sharded) run
+        layerwise_loss_grad=lw_fn,
     )
     t0 = time.time()
     _, _, metrics = step(params, opt, batch, jnp.int32(0))
@@ -80,6 +96,11 @@ def main():
     ap.add_argument(
         "--opt-state-dtype", default=None, choices=[None, "int8", "bfloat16"],
         help="moment storage for BOTH runs (int8 exercises q8 x TP)",
+    )
+    ap.add_argument(
+        "--layerwise", action="store_true",
+        help="reverse-scan layerwise grad streaming for BOTH runs "
+             "(with --tp: pins the 1558M recipe x model parallelism)",
     )
     args = ap.parse_args()
     state_dtype = jnp.dtype(args.opt_state_dtype) if args.opt_state_dtype else None
@@ -101,7 +122,7 @@ def main():
     print(f"single-device step (opt_state_dtype={args.opt_state_dtype})...", flush=True)
     ref = run_step(
         params, jax.tree.map(jnp.asarray, batch_host), cfg,
-        state_dtype=state_dtype,
+        state_dtype=state_dtype, layerwise=args.layerwise,
     )
 
     print(f"tp={args.tp} sharded step...", flush=True)
@@ -109,7 +130,10 @@ def main():
     sharded = shard_params(params, mesh)
     del params
     batch = shard_batch(mesh, batch_host, leading_accum_axis=True)
-    got = run_step(sharded, batch, cfg, mesh, state_dtype=state_dtype)
+    got = run_step(
+        sharded, batch, cfg, mesh, state_dtype=state_dtype,
+        layerwise=args.layerwise,
+    )
 
     np.testing.assert_allclose(got[0], ref[0], rtol=2e-6)
     np.testing.assert_allclose(got[1], ref[1], rtol=2e-5)
