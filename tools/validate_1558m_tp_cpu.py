@@ -17,8 +17,23 @@ Usage:
 memory recipe composed with tp=4 model parallelism at 1558M scale.)
 """
 import argparse
+import os
 import sys
 import time
+
+# XLA:CPU's collective rendezvous hard-SIGABRTs after 40 s if device
+# threads starve on a loaded 1-core host (tests/conftest.py has the full
+# story) — this run takes ~30+ min sharded, so raise the timeouts BEFORE
+# backend init. Reproduced 2026-08-20: the tp=4 step died at op_id=16's
+# all-gather when a TPU trace ran concurrently.
+_flags = os.environ.get("XLA_FLAGS", "")
+for _f in (
+    "--xla_cpu_collective_timeout_seconds=1200",
+    "--xla_cpu_collective_call_terminate_timeout_seconds=1200",
+):
+    if _f.split("=")[0] not in _flags:
+        _flags += " " + _f
+os.environ["XLA_FLAGS"] = _flags.strip()
 
 import jax
 
