@@ -28,8 +28,17 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from ..core.precision import Policy, DEFAULT_POLICY
+
+NUM_LANES = 128
+NEG_INF = -1e30
+
+# Global interpreter-mode override so CPU tests can exercise the Pallas
+# forward (mirrors flash_attention.FORCE_INTERPRET).
+FORCE_INTERPRET = False
 
 
 def _pad_rows(a, n_pad):
@@ -39,8 +48,171 @@ def _pad_rows(a, n_pad):
     return jnp.pad(a, widths)
 
 
+# ---------------------------------------------------------------------------
+# Pallas forward: lm_head matmul with the softmax stats fused into its
+# epilogue — the (N, V) logits never reach HBM at all.
+#
+# The XLA forward (scan below) writes each logits tile to HBM and reads it
+# back for the logsumexp/gold pass: at the bench shape (N=8192, V=50304,
+# bf16) that is ~824 MB written + ~824 MB re-read per micro-step, itemized
+# at ~1.3 ms of softmax stats on top of the matmul (ROUND_NOTES r4
+# post-dt table). Here each (bn, bv) logits tile lives only in VMEM:
+# grid (N/bn, V/bv) with the vocab sweep innermost/sequential, online
+# max/sumexp + the gold-logit pick accumulating in lane-replicated VMEM
+# scratch (the _fwd_step trick from ops/flash_attention.py), outputs
+# (nll, logz) written on the last vocab tile. w traffic is (N/bn) * V * D
+# bytes, so bn is chosen as large as VMEM allows.
+#
+# Numerics: bf16 MXU inputs, fp32 accumulation (same operand rounding as
+# tile_logits), but the logsumexp is the online blockwise one — loss
+# differs from the XLA path by reduction-order ulps only. The backward is
+# unchanged XLA (it recomputes logits from the saved logz, which this
+# forward supplies; using the Pallas logz there keeps fwd/bwd mutually
+# consistent). Gated like the dt attention kernels: TPU (or forced
+# interpreter), shapes divisible, compute dtype != fp32 is NOT required —
+# the kernel is exact fp32-in too — but the parity-pinned fp32 policy
+# keeps the XLA path (see fused_linear_ce).
+# ---------------------------------------------------------------------------
+
+
+def _rep(stat, w):
+    """Broadcast a lane-replicated (bn, NUM_LANES) stat to width w
+    (flash_attention._rep)."""
+    if w <= NUM_LANES:
+        return stat[:, :w]
+    reps = -(-w // NUM_LANES)
+    out = jnp.tile(stat, (1, reps))
+    return out if out.shape[1] == w else out[:, :w]
+
+
+def _ce_fwd_kernel(x_ref, w_ref, t_ref, nll_ref, lse_ref, m_ref, l_ref,
+                   g_ref, *, bv, nv):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        g_ref[...] = jnp.zeros_like(g_ref)
+
+    s = jax.lax.dot_general(
+        x_ref[...], w_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bn, bv) logits tile, fp32
+    m = m_ref[...]
+    m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+    p = jnp.exp(s - _rep(m_new, bv))
+    l_ref[...] = l_ref[...] * jnp.exp(m - m_new) + jnp.sum(
+        p, axis=1, keepdims=True
+    )
+    m_ref[...] = m_new
+    # gold logit: each row's target falls in exactly one vocab tile
+    cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * bv
+    hit = cols == t_ref[...]  # (bn, 1) broadcasts over lanes
+    g_ref[...] = g_ref[...] + jnp.sum(
+        jnp.where(hit, s, 0.0), axis=1, keepdims=True
+    )
+
+    @pl.when(j == nv - 1)
+    def _():
+        lse = m_ref[...] + jnp.log(l_ref[...])
+        lse_ref[...] = lse[:, :1]
+        nll_ref[...] = (lse - g_ref[...])[:, :1]
+
+
+def _ce_block_sizes(n: int, d: int, v: int, itemsize: int = 2):
+    """(bn, bv) for the Pallas forward, or None when the shape does not
+    tile cleanly / fit VMEM.
+
+    bv: largest multiple-of-128 divisor of V that is <= 512 (V=50304 ->
+    384). bn: largest multiple-of-256 divisor of N whose working set
+    (x tile + 2 w tiles + 2 fp32 (bn, bv) tiles + 3 fp32 stat vregs)
+    stays under ~12 MB of the 16 MB scoped VMEM; bigger bn means fewer
+    full sweeps over w ((N/bn) * V * D bytes of HBM traffic).
+    """
+    if n % 256 or d % 128 or v % 128:
+        return None
+    bv = 0
+    for cand in range(512, 127, -128):
+        if v % cand == 0:
+            bv = cand
+            break
+    if not bv:
+        return None
+    budget = 12 * 1024 * 1024
+    bn = 0
+    for cand in (4096, 2048, 1024, 512, 256):
+        if n % cand:
+            continue
+        use = (
+            cand * d * itemsize          # x tile
+            + 2 * bv * d * itemsize      # double-buffered w tile
+            + 2 * cand * bv * 4          # s + p fp32 transients
+            + 3 * cand * NUM_LANES * 4   # m/l/g scratch
+        )
+        if use <= budget:
+            bn = cand
+            break
+    return (bn, bv) if bn else None
+
+
+def _ce_fwd_pallas(x, w, targets, policy: Policy, bn: int, bv: int,
+                   interpret: bool):
+    n, d = x.shape
+    v = w.shape[0]
+    nv = v // bv
+    nll, lse = pl.pallas_call(
+        functools.partial(_ce_fwd_kernel, bv=bv, nv=nv),
+        grid=(n // bn, nv),
+        in_specs=[
+            pl.BlockSpec((bn, d), lambda i, j: (i, 0)),
+            pl.BlockSpec((bv, d), lambda i, j: (j, 0)),
+            pl.BlockSpec((bn, 1), lambda i, j: (i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((bn, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((bn, 1), lambda i, j: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bn, NUM_LANES), jnp.float32),
+            pltpu.VMEM((bn, NUM_LANES), jnp.float32),
+            pltpu.VMEM((bn, NUM_LANES), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * v * d,
+            bytes_accessed=(n * d + (n // bn) * v * d) * x.dtype.itemsize,
+            transcendentals=n * v,
+        ),
+    )(
+        policy.cast_compute(x),
+        policy.cast_compute(w),
+        targets.astype(jnp.int32)[:, None],
+    )
+    return nll[:, 0], lse[:, 0]
+
+
+def ce_pallas_eligible(n: int, d: int, v: int) -> bool:
+    """Can the Pallas fused-CE forward run this shape?"""
+    return _ce_block_sizes(n, d, v) is not None
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:  # no backend yet
+        return False
+
+
 @functools.lru_cache(maxsize=None)
-def _make(n_chunks: int, policy: Policy):
+def _make(n_chunks: int, policy: Policy, pallas_fwd: bool = False):
     cc = policy.cast_compute
     acc = policy.accum_dtype
 
@@ -59,6 +231,16 @@ def _make(n_chunks: int, policy: Policy):
         return nll
 
     def _fwd(x, w, targets):
+        if pallas_fwd:
+            bs = _ce_block_sizes(x.shape[0], x.shape[1], w.shape[0])
+            assert bs is not None, (
+                "pallas fused-CE forward: shape not eligible "
+                f"(N={x.shape[0]}, D={x.shape[1]}, V={w.shape[0]})"
+            )
+            nll, logz = _ce_fwd_pallas(
+                x, w, targets, policy, bs[0], bs[1], FORCE_INTERPRET
+            )
+            return nll, (x, w, targets, logz)
         n = x.shape[0]
         n_pad = (-n) % n_chunks
         xp = _pad_rows(x, n_pad)
@@ -133,6 +315,7 @@ def fused_linear_ce(
     *,
     n_chunks: int = 8,
     policy: Policy = DEFAULT_POLICY,
+    impl: str = "auto",
 ):
     """Per-position NLL of a tied LM head without full logits.
 
@@ -143,6 +326,22 @@ def fused_linear_ce(
       by the caller — their rows get a finite NLL that the caller masks out
       (and their zero cotangent kills any backward contribution).
 
+    impl: forward implementation. "auto" routes to the Pallas
+    stats-in-epilogue kernel on TPU (or under FORCE_INTERPRET) for
+    eligible shapes under a non-fp32 compute policy — the fp32 policy is
+    the reference-parity pin and keeps the XLA forward's exact
+    logsumexp reduction tree. "pallas"/"xla" force a path. The backward
+    is the XLA chunked recompute either way.
+
     Returns nll (N,) fp32: logsumexp(logits) - logits[target] per row.
     """
-    return _make(int(n_chunks), policy)(x, w, targets)
+    use_pallas = False
+    if impl == "pallas":
+        use_pallas = True
+    elif impl == "auto":
+        use_pallas = (
+            (_on_tpu() or FORCE_INTERPRET)
+            and policy.compute_dtype != jnp.float32
+            and ce_pallas_eligible(x.shape[0], x.shape[1], w.shape[0])
+        )
+    return _make(int(n_chunks), policy, use_pallas)(x, w, targets)

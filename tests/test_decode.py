@@ -123,28 +123,13 @@ def test_topp_fast_kept_set_matches_sorted():
         ]
 
     def kept_fast(probs, p):
-        b, v = probs.shape
-        mass_above = lambda t: jnp.sum(
-            jnp.where(probs > t[:, None], probs, 0.0), axis=-1
-        )
-        lo = jnp.zeros((b,), jnp.int32)
-        hi = jnp.full((b,), jnp.float32(1.0).view(jnp.int32), jnp.int32)
+        # the PRODUCTION mask (8-way bisection since r4 decode round 4)
+        from gpt2_vision_language_tpu.infer.sampling import top_p_keep_mask
 
-        def body(_, lohi):
-            lo, hi = lohi
-            mid = (lo + hi) // 2
-            th = mass_above(mid.view(jnp.float32)) <= p
-            return (jnp.where(th, lo, mid), jnp.where(th, mid, hi))
-
-        lo, hi = jax.lax.fori_loop(0, 31, body, (lo, hi))
-        vb = hi.view(jnp.float32)[:, None]
-        g = mass_above(hi.view(jnp.float32))[:, None]
-        eq = probs == vb
-        kb = jnp.cumsum(eq, axis=-1) - eq
-        keep = (probs > vb) | (eq & (g + kb * vb <= p))
+        keep = top_p_keep_mask(probs, p)
         return [
             frozenset(np.nonzero(np.asarray(keep[i]))[0].tolist())
-            for i in range(b)
+            for i in range(probs.shape[0])
         ]
 
     rng = np.random.RandomState(7)

@@ -130,3 +130,84 @@ def test_caption_loss_fused_matches_unfused():
     gu = jax.grad(lambda p: lu(p, micro))(params)
     for a, b in zip(jax.tree.leaves(gf["bridge"]), jax.tree.leaves(gu["bridge"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+# ---- round-4: Pallas stats-in-epilogue forward (interpret mode) ----
+
+
+def test_pallas_fwd_matches_xla_fwd():
+    """The Pallas forward (logits never reach HBM) must match the XLA
+    chunked forward in value and in grads through the shared XLA
+    backward — fp32 exact-ish, bf16 within loss ulps."""
+    from unittest import mock
+
+    from gpt2_vision_language_tpu.core.precision import DEFAULT_POLICY
+    from gpt2_vision_language_tpu.ops import fused_ce
+
+    rng = np.random.RandomState(3)
+    n, d, v = 512, 128, 384  # (bn, bv) = (512, 384): single + multi tile
+    x = jnp.asarray(rng.randn(n, d), jnp.float32) * 0.3
+    w = jnp.asarray(rng.randn(v, d), jnp.float32) * 0.05
+    t = jnp.asarray(rng.randint(0, v, n), jnp.int32)
+
+    with mock.patch.object(fused_ce, "FORCE_INTERPRET", True):
+        for policy, tol in ((FP32_POLICY, 1e-5), (DEFAULT_POLICY, 2e-2)):
+            ref = fused_linear_ce(x, w, t, n_chunks=4, policy=policy, impl="xla")
+            got = fused_linear_ce(
+                x, w, t, n_chunks=4, policy=policy, impl="pallas"
+            )
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), rtol=tol, atol=tol
+            )
+
+            def loss(x, w, impl):
+                return jnp.mean(
+                    fused_linear_ce(
+                        x, w, t, n_chunks=4, policy=policy, impl=impl
+                    )
+                )
+
+            gx_r, gw_r = jax.grad(lambda a, b: loss(a, b, "xla"), (0, 1))(x, w)
+            gx_p, gw_p = jax.grad(lambda a, b: loss(a, b, "pallas"), (0, 1))(x, w)
+            np.testing.assert_allclose(
+                np.asarray(gx_p), np.asarray(gx_r), rtol=tol, atol=tol
+            )
+            np.testing.assert_allclose(
+                np.asarray(gw_p), np.asarray(gw_r), rtol=tol, atol=tol
+            )
+
+
+def test_pallas_fwd_gold_across_tiles():
+    """Targets land in every vocab tile (V=640 -> bv=128, 5 tiles); the
+    per-tile gold pick must find each row's target exactly once."""
+    from unittest import mock
+
+    from gpt2_vision_language_tpu.ops import fused_ce
+
+    rng = np.random.RandomState(4)
+    n, d, v = 256, 128, 640
+    assert fused_ce._ce_block_sizes(n, d, v) == (256, 128)
+    x = jnp.asarray(rng.randn(n, d), jnp.float32) * 0.3
+    w = jnp.asarray(rng.randn(v, d), jnp.float32) * 0.05
+    # hit every tile, including boundaries
+    t = jnp.asarray(
+        np.concatenate([
+            np.arange(0, 256) % v,
+            np.asarray([0, 127, 128, 255, 256, 511, 512, 639] * 32),
+        ])[:n],
+        jnp.int32,
+    )
+    with mock.patch.object(fused_ce, "FORCE_INTERPRET", True):
+        ref = fused_linear_ce(x, w, t, policy=FP32_POLICY, impl="xla")
+        got = fused_linear_ce(x, w, t, policy=FP32_POLICY, impl="pallas")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5)
+
+
+def test_pallas_eligibility_gate():
+    from gpt2_vision_language_tpu.ops.fused_ce import ce_pallas_eligible
+
+    assert ce_pallas_eligible(8192, 768, 50304)  # the bench shape
+    assert ce_pallas_eligible(4096, 1600, 50304)  # 1558M
+    assert not ce_pallas_eligible(100, 768, 50304)  # ragged rows
+    assert not ce_pallas_eligible(8192, 100, 50304)  # ragged depth
+    assert not ce_pallas_eligible(8192, 768, 50000)  # no 128-divisor tiling
