@@ -1,7 +1,15 @@
-.PHONY: test native bench bench-finetune bench-decode dryrun clean
+.PHONY: test check check-fast native bench bench-finetune bench-decode dryrun clean
 
 test:
 	python -m pytest tests/ -q
+
+# Mandatory before the final commit of a build round (CLAUDE.md):
+# full suite + driver-contract smokes + multichip dryrun.
+check:
+	python tools/preflight.py
+
+check-fast:
+	python tools/preflight.py --fast
 
 native:
 	$(MAKE) -C csrc

@@ -84,7 +84,8 @@ def sample_top_p(rng, logits, p: float = 0.9, temperature: float = 0.8):
     )
 
 
-def sample_top_p_fast(rng, logits, p: float = 0.9, temperature: float = 0.8):
+def sample_top_p_fast(rng, logits, p: float = 0.9, temperature: float = 0.8,
+                      ways: int = 8):
     """Sort-free nucleus sampling: same kept set and distribution as
     `sample_top_p`, no full-vocab sort.
 
@@ -132,7 +133,7 @@ def sample_top_p_fast(rng, logits, p: float = 0.9, temperature: float = 0.8):
     """
     logits = logits.astype(jnp.float32) / temperature
     probs = jax.nn.softmax(logits, axis=-1)
-    keep = top_p_keep_mask(probs, p)
+    keep = top_p_keep_mask(probs, p, ways=ways)
     masked = jnp.where(keep, jnp.log(probs + 1e-20), -jnp.inf)
     return jax.random.categorical(rng, masked, axis=-1).astype(jnp.int32)
 
@@ -171,7 +172,8 @@ def top_p_keep_mask(probs, p: float, ways: int = 8):
     # p < 1 (softmax sums to 1 up to rounding); G(1.0) = 0 <= p since
     # no prob exceeds 1.0 (the boundary-tie rule below guards rank 0
     # regardless).
-    one = jnp.float32(1.0).view(jnp.int32)
+    one = 0x3F800000  # int32 bit pattern of f32 1.0 — a Python int, NOT
+    # a jnp value: the pass count below must be concrete under jit.
     lo = jnp.zeros((b,), jnp.int32)
     hi = jnp.full((b,), one, jnp.int32)
     g_hi = jnp.zeros((b,), jnp.float32)  # G(hi_val), carried
@@ -181,7 +183,7 @@ def top_p_keep_mask(probs, p: float, ways: int = 8):
     # binary). The width recurrence is NOT monotone (e.g. 15 -> 8 but
     # 16 -> 2), so _bisect_passes takes the exact worst case over all
     # reachable widths, not a single trajectory.
-    n_pass = _bisect_passes(int(one), ways)
+    n_pass = _bisect_passes(one, ways)
     jj = jnp.arange(1, ways, dtype=jnp.int32)
 
     def body(_, carry):

@@ -63,9 +63,13 @@ def _pad_rows(a, n_pad):
 # (nll, logz) written on the last vocab tile. w traffic is (N/bn) * V * D
 # bytes, so bn is chosen as large as VMEM allows.
 #
-# Numerics: bf16 MXU inputs, fp32 accumulation (same operand rounding as
-# tile_logits), but the logsumexp is the online blockwise one — loss
-# differs from the XLA path by reduction-order ulps only. The backward is
+# Numerics: bf16 MXU inputs, fp32 accumulation — same OPERAND rounding as
+# tile_logits, but NOT the same logit rounding: tile_logits rounds the
+# fp32 accumulator through the bf16 compute dtype before its logsumexp,
+# while this kernel keeps the logits fp32 end-to-end (and its logsumexp is
+# the online blockwise one). The Pallas loss is therefore the MORE
+# accurate of the two — it differs from the XLA path by the bf16 logit
+# round-trip, not just reduction-order ulps (ADVICE r4). The backward is
 # unchanged XLA (it recomputes logits from the saved logz, which this
 # forward supplies; using the Pallas logz there keeps fwd/bwd mutually
 # consistent). Gated like the dt attention kernels: TPU (or forced
@@ -129,9 +133,18 @@ def _ce_block_sizes(n: int, d: int, v: int, itemsize: int = 2):
     (x tile + 2 w tiles + 2 fp32 (bn, bv) tiles + 3 fp32 stat vregs)
     stays under ~12 MB of the 16 MB scoped VMEM; bigger bn means fewer
     full sweeps over w ((N/bn) * V * D bytes of HBM traffic).
+
+    d is NOT grid-split (each block spans the full depth), so Mosaic only
+    needs sublane alignment on the contraction dim — it lane-pads the
+    (bn, d)/(bv, d) blocks to the next multiple of 128 with zeros, which
+    the dot_general contracts away. d=1600 (1558M) pads to 1664; the
+    VMEM estimate below uses the PADDED depth. itemsize is the compute
+    dtype's (2 for bf16; pass 4 under an fp32 policy — the estimate was
+    2x low there before, ADVICE r4).
     """
-    if n % 256 or d % 128 or v % 128:
+    if n % 256 or d % (8 if itemsize == 4 else 16) or v % 128:
         return None
+    d_pad = -(-d // NUM_LANES) * NUM_LANES  # Mosaic lane-pads blocks
     bv = 0
     for cand in range(512, 127, -128):
         if v % cand == 0:
@@ -145,8 +158,8 @@ def _ce_block_sizes(n: int, d: int, v: int, itemsize: int = 2):
         if n % cand:
             continue
         use = (
-            cand * d * itemsize          # x tile
-            + 2 * bv * d * itemsize      # double-buffered w tile
+            cand * d_pad * itemsize      # x tile
+            + 2 * bv * d_pad * itemsize  # double-buffered w tile
             + 2 * cand * bv * 4          # s + p fp32 transients
             + 3 * cand * NUM_LANES * 4   # m/l/g scratch
         )
@@ -199,9 +212,10 @@ def _ce_fwd_pallas(x, w, targets, policy: Policy, bn: int, bv: int,
     return nll[:, 0], lse[:, 0]
 
 
-def ce_pallas_eligible(n: int, d: int, v: int) -> bool:
-    """Can the Pallas fused-CE forward run this shape?"""
-    return _ce_block_sizes(n, d, v) is not None
+def ce_pallas_eligible(n: int, d: int, v: int, itemsize: int = 2) -> bool:
+    """Can the Pallas fused-CE forward run this shape? itemsize is the
+    compute dtype's (2 bf16 / 4 fp32) — it sizes the VMEM working set."""
+    return _ce_block_sizes(n, d, v, itemsize) is not None
 
 
 def _on_tpu() -> bool:
@@ -232,7 +246,10 @@ def _make(n_chunks: int, policy: Policy, pallas_fwd: bool = False):
 
     def _fwd(x, w, targets):
         if pallas_fwd:
-            bs = _ce_block_sizes(x.shape[0], x.shape[1], w.shape[0])
+            bs = _ce_block_sizes(
+                x.shape[0], x.shape[1], w.shape[0],
+                jnp.dtype(policy.compute_dtype).itemsize,
+            )
             assert bs is not None, (
                 "pallas fused-CE forward: shape not eligible "
                 f"(N={x.shape[0]}, D={x.shape[1]}, V={w.shape[0]})"
@@ -342,6 +359,9 @@ def fused_linear_ce(
         use_pallas = (
             (_on_tpu() or FORCE_INTERPRET)
             and policy.compute_dtype != jnp.float32
-            and ce_pallas_eligible(x.shape[0], x.shape[1], w.shape[0])
+            and ce_pallas_eligible(
+                x.shape[0], x.shape[1], w.shape[0],
+                jnp.dtype(policy.compute_dtype).itemsize,
+            )
         )
     return _make(int(n_chunks), policy, use_pallas)(x, w, targets)

@@ -154,6 +154,50 @@ def test_topp_fast_kept_set_matches_sorted():
     assert picks == {0}
 
 
+def test_topp_fast_under_jit():
+    """EVERY production caller runs the fast sampler under jit
+    (infer/decode.py jits _first_sample/_decode_loop) — the r4 snapshot
+    regression (a traced `.view(int32)` feeding a Python `int()`) passed
+    the eager-only pin and crashed all jitted callers. Pin: (a) the
+    jitted mask is bit-identical to the eager mask, (b) the jitted
+    sampler draws the same tokens as the eager sampler, across p values
+    including the boundary-heavy 0.999."""
+    from gpt2_vision_language_tpu.infer.sampling import (
+        sample_top_p_fast,
+        top_p_keep_mask,
+    )
+
+    rng = np.random.RandomState(11)
+    logits = jnp.asarray(rng.randn(4, 1024).astype(np.float32) * 2.0)
+    probs = jax.nn.softmax(logits / 0.8, axis=-1)
+    for p in (0.5, 0.9, 0.999):
+        eager = top_p_keep_mask(probs, p)
+        jitted = jax.jit(top_p_keep_mask, static_argnums=1)(probs, p)
+        np.testing.assert_array_equal(np.asarray(jitted), np.asarray(eager))
+        key = jax.random.PRNGKey(42)
+        tok_e = sample_top_p_fast(key, logits, p=p)
+        tok_j = jax.jit(
+            lambda k, lg, p=p: sample_top_p_fast(k, lg, p=p)
+        )(key, logits)
+        np.testing.assert_array_equal(np.asarray(tok_j), np.asarray(tok_e))
+
+
+def test_decoder_with_fast_topp_smoke():
+    """The production configuration: Decoder(sample_fn=sample_top_p_fast)
+    exactly as eval/caption_eval.py:59 builds it — generate must run
+    (this jits the sampler inside _first_sample and the scan decode loop)
+    and must match the uncached re-forward reference stream."""
+    from gpt2_vision_language_tpu.infer.sampling import sample_top_p_fast
+
+    params = gpt2.init(jax.random.PRNGKey(0), SMALL)
+    prompt = jnp.asarray([[5, 10, 15], [7, 3, 1]], jnp.int32)
+    rng = jax.random.PRNGKey(123)
+    ref = _uncached_generate(params, prompt, 8, rng, sample_top_p_fast)
+    dec = Decoder(SMALL, policy=FP32_POLICY, sample_fn=sample_top_p_fast)
+    out, _ = dec.generate(params, prompt, 8, rng)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
 # ---- round-4: compute-dtype (bf16) weight storage for serving ----
 
 

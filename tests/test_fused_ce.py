@@ -207,7 +207,38 @@ def test_pallas_eligibility_gate():
     from gpt2_vision_language_tpu.ops.fused_ce import ce_pallas_eligible
 
     assert ce_pallas_eligible(8192, 768, 50304)  # the bench shape
-    assert ce_pallas_eligible(4096, 1600, 50304)  # 1558M
+    # 1558M: d=1600 is NOT a multiple of 128 — the d axis is not
+    # grid-split, so Mosaic lane-pads the (bn, 1600) blocks to 1664 and
+    # the gate only requires sublane alignment (d % 16 bf16 / d % 8 fp32;
+    # ADVICE r4 #1 — the r4 gate wrongly required d % 128 == 0 here)
+    assert ce_pallas_eligible(4096, 1600, 50304)
+    assert ce_pallas_eligible(4096, 1280, 50304)  # 774M
     assert not ce_pallas_eligible(100, 768, 50304)  # ragged rows
     assert not ce_pallas_eligible(8192, 100, 50304)  # ragged depth
     assert not ce_pallas_eligible(8192, 768, 50000)  # no 128-divisor tiling
+    # fp32 policy: itemsize=4 doubles the VMEM working set (ADVICE r4 #3)
+    from gpt2_vision_language_tpu.ops.fused_ce import _ce_block_sizes
+
+    bn_bf16, _ = _ce_block_sizes(4096, 1600, 50304, itemsize=2)
+    bn_fp32, _ = _ce_block_sizes(4096, 1600, 50304, itemsize=4)
+    assert bn_fp32 <= bn_bf16
+
+
+def test_pallas_fwd_nonmultiple_depth():
+    """d % 128 != 0 (the 1558M class): kernel math must still be exact —
+    interpret mode pins the semantics; the on-chip Mosaic lane-padding
+    path is validated by tools/ab_ce.py --d 1600 (ROUND_NOTES r5)."""
+    from unittest import mock
+
+    from gpt2_vision_language_tpu.ops import fused_ce
+
+    rng = np.random.RandomState(5)
+    n, d, v = 256, 144, 384  # 144 % 128 = 16, 144 % 16 = 0 — eligible
+    assert fused_ce._ce_block_sizes(n, d, v) == (256, 384)
+    x = jnp.asarray(rng.randn(n, d), jnp.float32) * 0.3
+    w = jnp.asarray(rng.randn(v, d), jnp.float32) * 0.05
+    t = jnp.asarray(rng.randint(0, v, n), jnp.int32)
+    with mock.patch.object(fused_ce, "FORCE_INTERPRET", True):
+        ref = fused_linear_ce(x, w, t, policy=FP32_POLICY, impl="xla")
+        got = fused_linear_ce(x, w, t, policy=FP32_POLICY, impl="pallas")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5)
