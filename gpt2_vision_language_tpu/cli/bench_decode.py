@@ -28,6 +28,10 @@ def main(argv=None):
                         "per-token HBM read; float32 = pre-r4 behavior)")
     p.add_argument("--uncached-baseline", action="store_true",
                    help="also measure the reference regime (slow)")
+    p.add_argument("--topp-ways", type=int, default=8,
+                   help="bisection arity of the sort-free top-p sampler "
+                        "(8 = 11 passes, 2 = 31 passes; A/B lever, "
+                        "VERDICT r4 #3)")
     args = p.parse_args(argv)
 
     import jax
@@ -48,7 +52,9 @@ def main(argv=None):
         jax.random.PRNGKey(1), (b, m, cfg.n_embd), jnp.bfloat16
     )
     prompt = jnp.asarray([[32, 4590, 286]] * b, jnp.int32)  # "A photo of"
-    dec = Decoder(cfg, sample_fn=sample_top_p_fast)
+    ways = args.topp_ways
+    sample_fn = lambda rng, logits: sample_top_p_fast(rng, logits, ways=ways)
+    dec = Decoder(cfg, sample_fn=sample_fn)
 
     out, _ = dec.generate(
         params, prompt, args.new, jax.random.PRNGKey(2), prefix_embeds=prefix

@@ -148,13 +148,19 @@ class CocoBatcher:
             "empty epoch order)"
         )
         self.rng = np.random.RandomState(seed)
-        # caption draws ride their own stream so reset() can restore it:
-        # a validation batcher then scores the SAME caption per image on
-        # every eval (val-loss deltas measure the model, not draw noise)
+        # Caption draws are a PURE FUNCTION of (seed, epoch, dataset row)
+        # (_draw_caption) — not a sequential stream. Two properties ride
+        # on that: (1) reset() makes a validation batcher score the SAME
+        # (image, caption) pairs every eval (val-loss deltas measure the
+        # model, not draw noise); (2) the pairing is TOPOLOGY-INVARIANT —
+        # N rank-strided batchers assemble bitwise the same global batch
+        # as one batcher (a per-rank stream consumed draws only for its
+        # own rows, so the pairing depended on the process count — caught
+        # by test_two_process_finetune_matches_single_process, r5).
         self._cap_seed = seed ^ 0x5A5A
-        self.cap_rng = np.random.RandomState(self._cap_seed)
         self._base = np.arange(len(dataset))
         self._pos = 0
+        self._epoch = -1
         self._new_epoch()
 
     def _new_epoch(self):
@@ -162,35 +168,59 @@ class CocoBatcher:
             self.rng.shuffle(self._base)
         self._order = self._base[self.rank :: self.world]
         self._pos = 0
+        self._epoch += 1
 
     def reset(self):
-        """Rewind to the current epoch's start (no reshuffle) AND restore
-        the caption-draw stream, so a validation pass scores identical
-        (image, caption) pairs every time. (The streaming next_batch path
-        draws inside the dataset and is not made reproducible here — the
-        finetune workload validates through next_index_batch.)"""
+        """Rewind to epoch 0's start (no reshuffle), so a validation pass
+        scores identical (image, caption) pairs every time. Only
+        meaningful for shuffle=False batchers (the val loop): a shuffled
+        batcher's _order no longer matches epoch 0's. (The streaming
+        next_batch path draws inside the dataset and is not made
+        reproducible here — the finetune workload validates through
+        next_index_batch.)"""
         self._pos = 0
-        self.cap_rng = np.random.RandomState(self._cap_seed)
+        self._epoch = 0
+
+    def _draw_caption(self, row: int, n: int, epoch: int) -> int:
+        """Deterministic caption pick for `row` in `epoch`: splitmix64 of
+        (cap_seed, epoch, row), reduced mod n."""
+        h = (
+            self._cap_seed * 0x9E3779B97F4A7C15
+            + epoch * 0xBF58476D1CE4E5B9
+            + int(row) * 0x94D049BB133111EB
+        ) & 0xFFFFFFFFFFFFFFFF
+        h ^= h >> 30
+        h = (h * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        h ^= h >> 27
+        h = (h * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        h ^= h >> 31
+        return h % n
 
     def steps_per_epoch(self) -> int:
         n = len(self._order)
         return n // self.B if self.drop_last else -(-n // self.B)
 
     def _next_idxs(self):
+        """Next B dataset rows plus the epoch each row was drawn in (a
+        drop_last=False tail wraps into the next epoch mid-batch; caption
+        draws must key on the ROW's epoch, not the batcher's final one,
+        or wrap timing would differ across process topologies)."""
         if self._pos + self.B > len(self._order):
             if self.drop_last or self._pos >= len(self._order):
                 self._new_epoch()
         idxs = self._order[self._pos : self._pos + self.B]
+        epochs = np.full(len(idxs), self._epoch)
         self._pos += len(idxs)
         while len(idxs) < self.B:  # wrap tail into the next epoch
             self._new_epoch()
             take = self._order[: self.B - len(idxs)]
             self._pos = len(take)
             idxs = np.concatenate([idxs, take])
-        return idxs
+            epochs = np.concatenate([epochs, np.full(len(take), self._epoch)])
+        return idxs, epochs
 
     def next_batch(self):
-        idxs = self._next_idxs()
+        idxs, _ = self._next_idxs()
         xs, ys, ms, zs = zip(*(self.ds[int(i)] for i in idxs))
         return (
             np.stack(xs),
@@ -208,11 +238,11 @@ class CocoBatcher:
     def next_index_batch(self):
         """(x, y, mask, idx) — features are looked up ON DEVICE in a
         preloaded bank; only token ids cross the host->device boundary."""
-        idxs = self._next_idxs()
+        idxs, epochs = self._next_idxs()
         xs, ys, ms = [], [], []
-        for i in idxs:
+        for i, ep in zip(idxs, epochs):
             caps = self.ds.coco[int(i)]
-            text = self.cap_rng.choice(caps)
+            text = caps[self._draw_caption(int(i), len(caps), int(ep))]
             x, y, m = encode_caption(text, self.ds.tokenizer, self.ds.max_len)
             xs.append(x)
             ys.append(y)

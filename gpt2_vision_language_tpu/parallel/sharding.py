@@ -73,41 +73,54 @@ def seq_parallel_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data", "model", None))
 
 
-def moment_specs(params, moments, mesh: Mesh):
+def moment_specs(params, moments, mesh: Mesh, *, pspecs=None,
+                 flat_axes=None):
     """PartitionSpecs for an optimizer moment tree (adamw_init output for
     one of m/v), which may contain three leaf kinds per parameter:
 
       * plain arrays shaped like the param (fp32/bf16 moments) — inherit
-        the param's Megatron spec;
+        the param's spec (`pspecs`, default the Megatron TP specs);
       * scalar () placeholders (frozen leaves) — replicated;
       * block-quantized {"q": (npad,) int8, "s": (npad/256,) fp32} dicts
         (train/optimizer.py q8) — the flat buffers are sharded over
-        "model" on their single axis whenever every shard boundary lands
-        on a 256-element block boundary (npad % (Q8_BLOCK*tp) == 0, true
-        for all q8-eligible GPT-2 leaves), else replicated.
+        `flat_axes` on their single axis whenever every shard boundary
+        lands on a 256-element block boundary
+        (npad % (Q8_BLOCK * n_shards) == 0, true for all q8-eligible
+        GPT-2 leaves), else replicated.
 
-    The flat-contiguous "model" sharding of q/s does NOT coincide with
-    the owning param's (column/row) sharded axis for most leaves; GSPMD
-    inserts the int8 reshard inside the update program's dequant reshape.
-    That trades one int8-sized collective per moment per step for the
-    4.3 GB HBM saving that makes int8 moments worth having — the same
-    global block grid as tp=1, so the quantized trajectory is identical
-    to the single-chip recipe's (pinned by test_int8_tp_step_parity).
-    Per-shard requantization (zero-collective, tp-dependent grid) is the
-    known faster variant if multi-chip profiling ever shows this matters.
+    `flat_axes` defaults to ("model",); pass ("pipe", "model") under a
+    pipeline(+TP) mesh so the q/s buffers shard over every model axis
+    (axes absent from the mesh are dropped). The flat-contiguous sharding
+    of q/s does NOT coincide with the owning param's sharded axes
+    (pipe-stage layer axis, Megatron column/row) for most leaves; GSPMD
+    inserts the int8-sized reshard inside the update program's dequant
+    reshape. That trades one small collective per moment per step for the
+    4.3 GB HBM saving that makes int8 moments worth having — the SAME
+    global block grid as the single-device recipe, so the quantized
+    trajectory is unchanged by the sharding (pinned by
+    test_int8_tp_step_parity and test_pipeline_int8_moments_parity).
+    Per-shard requantization (zero-collective, grid depends on the mesh)
+    is the known faster variant if multi-chip profiling ever shows the
+    reshard matters.
     """
     from ..train.optimizer import Q8_BLOCK
 
-    tp = mesh.shape.get("model", 1)
-    pspecs = gpt2_param_specs(params)
+    if flat_axes is None:
+        flat_axes = ("model",)
+    axes = tuple(a for a in flat_axes if mesh.shape.get(a, 1) > 1)
+    ways = 1
+    for a in axes:
+        ways *= mesh.shape[a]
+    if pspecs is None:
+        pspecs = gpt2_param_specs(params)
     flat_p, treedef = jax.tree.flatten(params)
     flat_spec = treedef.flatten_up_to(pspecs)
     flat_m = treedef.flatten_up_to(moments)
     out = []
     for p, sp, m in zip(flat_p, flat_spec, flat_m):
         if isinstance(m, dict):  # q8 blocks
-            aligned = tp > 1 and m["q"].size % (Q8_BLOCK * tp) == 0
-            ax = "model" if aligned else None
+            aligned = ways > 1 and m["q"].size % (Q8_BLOCK * ways) == 0
+            ax = axes if aligned else None
             out.append({"q": P(ax), "s": P(ax)})
         elif m.ndim == p.ndim:
             out.append(sp)
@@ -116,9 +129,15 @@ def moment_specs(params, moments, mesh: Mesh):
     return jax.tree.unflatten(treedef, out)
 
 
-def shard_moments(params, moments, mesh: Mesh):
+def shard_moments(params, moments, mesh: Mesh, *, pspecs=None,
+                  flat_axes=None):
     """Place one moment tree (m or v) on the mesh; q8-dict aware."""
-    return shard_params(moments, mesh, specs=moment_specs(params, moments, mesh))
+    return shard_params(
+        moments, mesh,
+        specs=moment_specs(
+            params, moments, mesh, pspecs=pspecs, flat_axes=flat_axes
+        ),
+    )
 
 
 def shard_params(params, mesh: Mesh, specs=None):
@@ -134,11 +153,17 @@ def shard_params(params, mesh: Mesh, specs=None):
         )
 
     def _valid(spec, leaf):
-        # drop "model" axes that are not in this mesh
-        parts = tuple(
-            p if (p is None or p in mesh.axis_names) else None for p in spec
-        )
-        return NamedSharding(mesh, P(*parts))
+        # drop axes that are not in this mesh; a spec entry may be a
+        # TUPLE of axes (q8 flat buffers shard over ("pipe", "model"))
+        def keep(p):
+            if p is None:
+                return None
+            if isinstance(p, tuple):
+                kept = tuple(a for a in p if a in mesh.axis_names)
+                return kept if kept else None
+            return p if p in mesh.axis_names else None
+
+        return NamedSharding(mesh, P(*(keep(p) for p in spec)))
 
     return jax.tree.map(
         lambda leaf, spec: jax.device_put(leaf, _valid(spec, leaf)),

@@ -196,6 +196,102 @@ def test_pipeline_train_step_pp_x_tp():
         )
 
 
+def test_pipeline_int8_moments_parity():
+    """int8 (q8) moments compose with PIPELINE parallelism (VERDICT r4 #5):
+    the flat {q, s} buffers shard over ("pipe", "model") on their single
+    axis (parallel/sharding.py moment_specs flat_axes) while the params
+    ride pipeline_param_pspecs. Same global 256-block grid as the
+    single-device q8 recipe, so a 2-step quantized trajectory must match
+    the single-device int8 run up to fp32 reduction order."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from gpt2_vision_language_tpu.core.config import (
+        OptimizerConfig,
+        ScheduleConfig,
+    )
+    from gpt2_vision_language_tpu.parallel.pipeline import (
+        make_pipeline_loss_fn,
+        pipeline_param_pspecs,
+    )
+    from gpt2_vision_language_tpu.parallel.sharding import shard_moments
+    from gpt2_vision_language_tpu.train import make_train_step
+    from gpt2_vision_language_tpu.train.optimizer import adamw_init
+
+    assert jax.device_count() >= 4
+    # q8-eligible shapes (>= 64k elements, ndim >= 2): wte 512x128,
+    # wqkv (2,128,384), wfc (2,128,512) quantize — same as the TP pin
+    cfg = GPTConfig(
+        block_size=32, vocab_size=512, n_layer=2, n_head=4, n_embd=128
+    )
+    mesh = make_mesh(4, ("data", "pipe"), shape=(2, 2))
+    params = gpt2.init(jax.random.PRNGKey(0), cfg)
+    assert isinstance(
+        adamw_init(params, state_dtype=jnp.int8)["m"]["blocks"]["attn"]["wqkv"],
+        dict,
+    ), "test config must exercise q8 leaves"
+    sched = ScheduleConfig(max_lr=1e-3, min_lr=1e-4, warmup_steps=2, max_steps=10)
+
+    def ref_loss(p, micro):
+        return gpt2.loss(
+            p, micro["x"], cfg, targets=micro["y"], policy=FP32_POLICY,
+            ce_chunks=1,
+        )
+
+    pp_loss = make_pipeline_loss_fn(
+        cfg, mesh, n_micro=2, policy=FP32_POLICY
+    )
+    mk = lambda lf: make_train_step(
+        lf, OptimizerConfig(), sched, decay_mask=gpt2.decay_mask(params),
+        donate=False,
+    )
+    ref_step, pp_step = mk(ref_loss), mk(pp_loss)
+
+    rng = np.random.RandomState(13)
+    x = rng.randint(0, cfg.vocab_size, size=(2, 4, cfg.block_size))
+    batch = {"x": jnp.asarray(x), "y": jnp.asarray(np.roll(x, -1, axis=-1))}
+
+    p_ref = params
+    s_ref = adamw_init(p_ref, state_dtype=jnp.int8)
+    for i in range(2):  # step 2 dequantizes non-zero codes
+        p_ref, s_ref, m_ref = ref_step(p_ref, s_ref, batch, jnp.int32(i))
+
+    pspecs = pipeline_param_pspecs(params)
+    p_pp = jax.tree.map(
+        lambda p, s: jax.device_put(p, NamedSharding(mesh, s)), params, pspecs
+    )
+    s_pp = adamw_init(p_pp, state_dtype=jnp.int8)
+    s_pp["m"] = shard_moments(
+        p_pp, s_pp["m"], mesh, pspecs=pspecs, flat_axes=("pipe", "model")
+    )
+    s_pp["v"] = shard_moments(
+        p_pp, s_pp["v"], mesh, pspecs=pspecs, flat_axes=("pipe", "model")
+    )
+    # the big q8 buffers must actually be pipe-sharded in HBM
+    q = s_pp["m"]["blocks"]["attn"]["wqkv"]["q"]
+    assert q.sharding.shard_shape(q.shape)[0] == q.shape[0] // 2
+    sbatch = jax.tree.map(
+        lambda a: jax.device_put(a, NamedSharding(mesh, P(None, "data"))),
+        batch,
+    )
+    for i in range(2):
+        p_pp, s_pp, m_pp = pp_step(p_pp, s_pp, sbatch, jnp.int32(i))
+
+    np.testing.assert_allclose(
+        float(m_pp["loss"]), float(m_ref["loss"]), rtol=2e-5
+    )
+    np.testing.assert_allclose(
+        float(m_pp["grad_norm"]), float(m_ref["grad_norm"]), rtol=1e-3
+    )
+    for path in (("wte",), ("blocks", "attn", "wqkv"), ("blocks", "mlp", "wfc")):
+        a, b = p_pp, p_ref
+        for k in path:
+            a, b = a[k], b[k]
+        # atol covers one quantization step (the sharded clip norm differs
+        # in its last fp32 ulp from the single-device one)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=3e-5
+        )
+
+
 def test_pipeline_microbatch_counts():
     """More microbatches (smaller bubbles) must not change the result."""
     assert jax.device_count() >= 4
