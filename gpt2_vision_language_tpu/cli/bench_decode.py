@@ -28,10 +28,11 @@ def main(argv=None):
                         "per-token HBM read; float32 = pre-r4 behavior)")
     p.add_argument("--uncached-baseline", action="store_true",
                    help="also measure the reference regime (slow)")
-    p.add_argument("--topp-ways", type=int, default=8,
-                   help="bisection arity of the sort-free top-p sampler "
-                        "(8 = 11 passes, 2 = 31 passes; A/B lever, "
-                        "VERDICT r4 #3)")
+    p.add_argument("--topp-ways", type=int, default=2,
+                   help="bisection arity of the sort-free top-p sampler. "
+                        "Measured r5 (this tool): 2-way 962.05 captions/s "
+                        "vs 8-way 914.7 — fewer passes but 2.5x the VPU "
+                        "reduce work; 2 is the default everywhere")
     args = p.parse_args(argv)
 
     import jax

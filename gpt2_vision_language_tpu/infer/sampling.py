@@ -85,7 +85,7 @@ def sample_top_p(rng, logits, p: float = 0.9, temperature: float = 0.8):
 
 
 def sample_top_p_fast(rng, logits, p: float = 0.9, temperature: float = 0.8,
-                      ways: int = 8):
+                      ways: int = 2):
     """Sort-free nucleus sampling: same kept set and distribution as
     `sample_top_p`, no full-vocab sort.
 
@@ -110,12 +110,14 @@ def sample_top_p_fast(rng, logits, p: float = 0.9, temperature: float = 0.8,
       4. categorical over the masked log-probs: softmax restricted to the
          kept set == the sorted path's renormalized multinomial.
 
-    The bisection is 8-way (r4 decode round 4): each pass reads probs
-    ONCE and evaluates G at 7 interior thresholds in a single fused
-    reduction, narrowing the int32 bit interval 8x instead of 2x — 11
-    passes instead of 31 (still bandwidth/VPU-cheap: ~7 compares+adds
-    per element per pass), and the boundary mass G(hi) is carried
-    through the loop so no extra pass is needed after it. Any-arity
+    The bisection arity is measured, not assumed: the r4 snapshot's 8-way
+    rewrite (11 passes of 7 sibling (B, V) reduces instead of 31 passes
+    of 1) looked like fewer passes but is 2.5x the total VPU reduce work,
+    and on-chip it LOSES — bench_decode r5: 914.7 captions/s at ways=8 vs
+    962.05 at ways=2 (B=50, 24 new tokens, v5e-1). ways=2 is the default;
+    the knob stays for re-measurement (cli/bench_decode --topp-ways).
+    The boundary mass G(hi) is carried through the loop so no extra pass
+    is needed after it. Any-arity
     bisection of the same monotone predicate over the same integer
     lattice converges to the same adjacent (lo, hi) pair, so the kept
     set matches the 2-way path's bit-for-bit wherever the backend
@@ -138,7 +140,7 @@ def sample_top_p_fast(rng, logits, p: float = 0.9, temperature: float = 0.8,
     return jax.random.categorical(rng, masked, axis=-1).astype(jnp.int32)
 
 
-def top_p_keep_mask(probs, p: float, ways: int = 8):
+def top_p_keep_mask(probs, p: float, ways: int = 2):
     """The nucleus keep mask for `sample_top_p_fast`, sort-free.
 
     (B, V) probabilities -> (B, V) bool: token kept iff its exclusive

@@ -25,6 +25,7 @@ Matmuls follow the precision policy: bf16 MXU inputs, fp32 accumulation
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -226,7 +227,30 @@ def _on_tpu() -> bool:
 
 
 @functools.lru_cache(maxsize=None)
-def _make(n_chunks: int, policy: Policy, pallas_fwd: bool = False):
+def _make(n_chunks: int, policy: Policy, pallas_fwd: str = "never"):
+    """pallas_fwd routes the FORWARD implementation:
+
+    "never"   — XLA chunked scan everywhere (fp32 parity pin; and the
+                right choice whenever a backward follows, see below).
+    "always"  — Pallas stats-in-epilogue kernel in both the primal call
+                and the custom-vjp forward (forced impl="pallas").
+    "primal"  — Pallas for plain (non-differentiated) calls, XLA for the
+                custom-vjp forward. This is what impl="auto" picks on TPU:
+                measured in-context on v5e-1 at the bench shape (N=8192,
+                D=768, V=50304, bf16; r5 A/B), the Pallas forward wins
+                ISOLATED (5.32 vs 7.30 ms fwd-only — no (N, V) logits HBM
+                round-trip, stats fused into the matmul epilogue) but
+                LOSES inside the train step (158.8k vs 165.1k tok/s):
+                XLA CSEs the XLA forward's logits matmul against the
+                backward's tile_logits recompute, so the "recomputed"
+                matmul is free, while the Pallas forward's unreadable
+                logits force the backward to pay it for real (+3.2 ms,
+                against ~1.3 ms of saved stats traffic). Under jax.grad /
+                value_and_grad the custom-vjp forward runs, not the
+                primal, so this split gives eval/val-loss the kernel and
+                training the CSE.
+    """
+    assert pallas_fwd in ("never", "always", "primal")
     cc = policy.cast_compute
     acc = policy.accum_dtype
 
@@ -241,11 +265,17 @@ def _make(n_chunks: int, policy: Policy, pallas_fwd: bool = False):
 
     @jax.custom_vjp
     def f(x, w, targets):
-        nll, _ = _fwd(x, w, targets)
+        # plain (non-differentiated) call — jax.grad never sees this body
+        nll, _ = _fwd_impl(x, w, targets, pallas_fwd in ("always", "primal"))
         return nll
 
     def _fwd(x, w, targets):
-        if pallas_fwd:
+        # custom-vjp forward — the backward's tile_logits recompute CSEs
+        # against the XLA forward's matmul, so only "always" forces Pallas
+        return _fwd_impl(x, w, targets, pallas_fwd == "always")
+
+    def _fwd_impl(x, w, targets, use_pallas):
+        if use_pallas:
             bs = _ce_block_sizes(
                 x.shape[0], x.shape[1], w.shape[0],
                 jnp.dtype(policy.compute_dtype).itemsize,
@@ -343,25 +373,36 @@ def fused_linear_ce(
       by the caller — their rows get a finite NLL that the caller masks out
       (and their zero cotangent kills any backward contribution).
 
-    impl: forward implementation. "auto" routes to the Pallas
-    stats-in-epilogue kernel on TPU (or under FORCE_INTERPRET) for
-    eligible shapes under a non-fp32 compute policy — the fp32 policy is
-    the reference-parity pin and keeps the XLA forward's exact
-    logsumexp reduction tree. "pallas"/"xla" force a path. The backward
-    is the XLA chunked recompute either way.
+    impl: forward implementation. "auto" routes NON-DIFFERENTIATED calls
+    (eval / val-loss / HellaSwag scoring) to the Pallas stats-in-epilogue
+    kernel on TPU (or under FORCE_INTERPRET) for eligible shapes under a
+    non-fp32 compute policy, and keeps the XLA chunked forward for the
+    custom-vjp forward — in a train step XLA CSEs that matmul against the
+    backward recompute, which beats the kernel (in-context bench A/B, r5:
+    165.1k vs 158.8k tok/s; isolated the kernel wins 0.73x). The fp32
+    policy is the reference-parity pin and keeps the XLA forward's exact
+    logsumexp reduction tree everywhere. "pallas"/"xla" force one path
+    for both calls. The backward is the XLA chunked recompute either way.
 
     Returns nll (N,) fp32: logsumexp(logits) - logits[target] per row.
     """
-    use_pallas = False
+    if impl == "auto":
+        # measurement override for in-context A/Bs (tools/ab_ce.py measures
+        # the op isolated; the bench measures it inside the whole train
+        # step, where XLA's CSE of the forward logits matmul against the
+        # backward recompute changes the economics — see ROUND_NOTES r5)
+        impl = os.environ.get("GPT2VL_CE_IMPL", "auto") or "auto"
     if impl == "pallas":
-        use_pallas = True
-    elif impl == "auto":
-        use_pallas = (
-            (_on_tpu() or FORCE_INTERPRET)
-            and policy.compute_dtype != jnp.float32
-            and ce_pallas_eligible(
-                x.shape[0], x.shape[1], w.shape[0],
-                jnp.dtype(policy.compute_dtype).itemsize,
-            )
+        mode = "always"
+    elif impl == "auto" and (
+        (_on_tpu() or FORCE_INTERPRET)
+        and policy.compute_dtype != jnp.float32
+        and ce_pallas_eligible(
+            x.shape[0], x.shape[1], w.shape[0],
+            jnp.dtype(policy.compute_dtype).itemsize,
         )
-    return _make(int(n_chunks), policy, use_pallas)(x, w, targets)
+    ):
+        mode = "primal"
+    else:
+        mode = "never"
+    return _make(int(n_chunks), policy, mode)(x, w, targets)

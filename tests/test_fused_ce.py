@@ -242,3 +242,44 @@ def test_pallas_fwd_nonmultiple_depth():
         ref = fused_linear_ce(x, w, t, policy=FP32_POLICY, impl="xla")
         got = fused_linear_ce(x, w, t, policy=FP32_POLICY, impl="pallas")
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5)
+
+
+def test_auto_routes_pallas_primal_xla_vjp():
+    """impl="auto" (r5): the Pallas forward runs only for plain calls;
+    under differentiation the custom-vjp forward stays XLA so its logits
+    matmul CSEs with the backward recompute (in-context bench A/B: XLA
+    fwd 165.1k tok/s vs Pallas fwd 158.8k inside the train step, while
+    isolated the kernel wins 0.73x — ROUND_NOTES r5)."""
+    from unittest import mock
+
+    from gpt2_vision_language_tpu.core.precision import DEFAULT_POLICY
+    from gpt2_vision_language_tpu.ops import fused_ce
+
+    rng = np.random.RandomState(5)
+    n, d, v = 512, 128, 384
+    x = jnp.asarray(rng.randn(n, d), jnp.float32) * 0.3
+    w = jnp.asarray(rng.randn(v, d), jnp.float32) * 0.05
+    t = jnp.asarray(rng.randint(0, v, n), jnp.int32)
+
+    with mock.patch.object(fused_ce, "FORCE_INTERPRET", True):
+        kw = dict(n_chunks=4, policy=DEFAULT_POLICY)
+        # primal call == forced-pallas value (bitwise: same code path)
+        auto = fused_linear_ce(x, w, t, impl="auto", **kw)
+        pal = fused_linear_ce(x, w, t, impl="pallas", **kw)
+        np.testing.assert_array_equal(np.asarray(auto), np.asarray(pal))
+
+        # differentiated call == forced-xla (loss AND grads bitwise: the
+        # vjp forward routes XLA, whose logz feeds the shared backward)
+        def loss(x, w, impl):
+            return jnp.mean(fused_linear_ce(x, w, t, impl=impl, **kw))
+
+        for impl_a, impl_b in [("auto", "xla")]:
+            la, (gxa, gwa) = jax.value_and_grad(
+                lambda a, b: loss(a, b, impl_a), (0, 1)
+            )(x, w)
+            lb, (gxb, gwb) = jax.value_and_grad(
+                lambda a, b: loss(a, b, impl_b), (0, 1)
+            )(x, w)
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+            np.testing.assert_array_equal(np.asarray(gxa), np.asarray(gxb))
+            np.testing.assert_array_equal(np.asarray(gwa), np.asarray(gwb))

@@ -59,7 +59,8 @@ def main():
     jax.block_until_ready(w)
 
     def make_fwd(use_pallas):
-        f = fused_ce._make(args.ce_chunks, DEFAULT_POLICY, use_pallas)
+        f = fused_ce._make(args.ce_chunks, DEFAULT_POLICY,
+                           "always" if use_pallas else "never")
 
         @jax.jit
         def run(xs, w, ts):
@@ -73,7 +74,8 @@ def main():
         return run
 
     def make_fwdbwd(use_pallas):
-        f = fused_ce._make(args.ce_chunks, DEFAULT_POLICY, use_pallas)
+        f = fused_ce._make(args.ce_chunks, DEFAULT_POLICY,
+                           "always" if use_pallas else "never")
 
         @jax.jit
         def run(xs, w, ts):
