@@ -64,12 +64,18 @@ def render_example(example: dict, tokenizer):
 def most_likely_row(tokens, mask, logits):
     """Masked-mean shifted CE argmin (train_gpt2.py:190-202). tokens (N, L),
     mask (N, L) over completion tokens, logits (N, L, V)."""
-    shift_logits = logits[:, :-1, :].astype(jnp.float32)
+    shift_logits = logits[:, :-1, :]
     shift_tokens = tokens[:, 1:]
-    logz = jax.scipy.special.logsumexp(shift_logits, axis=-1)
+    # upcast inside the reduce / after the gather: a gather OPERAND must be
+    # materialized, so gathering from the f32 upcast makes XLA write a full
+    # f32 copy of the logits first (r5 trace finding in ops/fused_ce.py);
+    # f32-of-bf16 is exact, so this is bitwise-identical
+    logz = jax.scipy.special.logsumexp(
+        shift_logits.astype(jnp.float32), axis=-1
+    )
     gold = jnp.take_along_axis(
         shift_logits, shift_tokens[..., None], axis=-1
-    ).squeeze(-1)
+    ).squeeze(-1).astype(jnp.float32)
     losses = logz - gold
     shift_mask = mask[:, 1:]
     avg = jnp.sum(losses * shift_mask, axis=-1) / jnp.maximum(

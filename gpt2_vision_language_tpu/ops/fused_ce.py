@@ -298,9 +298,21 @@ def _make(n_chunks: int, policy: Policy, pallas_fwd: str = "never"):
 
         def body(_, inp):
             xc, tc = inp
-            logits = tile_logits(xc, w).astype(jnp.float32)
-            logz = jax.scipy.special.logsumexp(logits, axis=-1)
-            gold = jnp.take_along_axis(logits, tc[:, None], axis=-1)[:, 0]
+            logits = tile_logits(xc, w)
+            # logsumexp's f32 upcast fuses into its reduces, but a GATHER
+            # operand must be materialized — take_along_axis on the f32
+            # upcast made XLA write a full f32 (N, V) copy of the logits
+            # (1.65 GB at the bench shape, ~2 ms/micro of pure HBM traffic,
+            # r5 trace: fusion.1357 emitted both f32 and bf16 logits).
+            # Gather from the compute-dtype tensor and upcast the 8192
+            # gathered values instead — bitwise-identical nll (f32 upcast
+            # of bf16 is exact), no second logits tensor.
+            logz = jax.scipy.special.logsumexp(
+                logits.astype(jnp.float32), axis=-1
+            )
+            gold = jnp.take_along_axis(logits, tc[:, None], axis=-1)[
+                :, 0
+            ].astype(jnp.float32)
             return None, (logz - gold, logz)
 
         _, (nll, logz) = jax.lax.scan(body, None, (xs, ts))
