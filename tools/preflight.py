@@ -3,16 +3,17 @@ commit of a build round (VERDICT r4 #7 — the r4 snapshot landed 526 lines
 of never-executed code; both bugs were catchable by the existing suite).
 
 Runs, in order, on the CPU backend (no TPU contention, safe anywhere):
-  1. the full test suite (`python -m pytest tests/ -q`),
-  2. a compile smoke of the driver contract: `__graft_entry__.entry()`
+  1. a compile smoke of the driver contract: `__graft_entry__.entry()`
      abstract-evaluates under jit (no device execution — catches
      ConcretizationTypeError-class breakage in the flagship step without
-     touching the chip),
-  3. `dryrun_multichip(8)` on the virtual mesh (the full dp x tp x sp
-     train-step sharding compiles AND executes one tiny step),
-  4. an import + one-call smoke of the decode/sampler production path
-     (Decoder + sample_top_p_fast under jit — the exact surface the r4
-     regression broke).
+     touching the chip), plus an import + one-call smoke of the
+     decode/sampler production path (Decoder + sample_top_p_fast under
+     jit — the exact surface the r4 regression broke),
+  2. `dryrun_multichip(8)` on the virtual mesh (the full dp x tp x sp
+     train-step sharding compiles AND executes one tiny step) — run
+     BEFORE the suite on a fresh host, with one retry for the
+     rendezvous-starvation flake (r5),
+  3. the full test suite (`python -m pytest tests/ -q`).
 
 Usage:  python tools/preflight.py [--fast]
   --fast skips the test suite (steps 2-4 only, ~1 min) for mid-round
@@ -36,6 +37,13 @@ CPU_ENV = dict(
     XLA_FLAGS=(
         os.environ.get("XLA_FLAGS", "")
         + " --xla_force_host_platform_device_count=8"
+        # 1-core host: XLA:CPU's collective rendezvous SIGABRTs when a
+        # device thread is starved past the terminal timeout. The dryrun's
+        # own default (600 s) was exceeded once when it ran right after
+        # the test suite (r5); pre-set 1200 s here — __graft_entry__ only
+        # appends its values when the keys are absent.
+        + " --xla_cpu_collective_timeout_seconds=1200"
+        + " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
     ).strip(),
 )
 
@@ -92,14 +100,25 @@ def main():
     args = ap.parse_args()
 
     ok = True
+    # Order: contract smokes + dryrun FIRST, on a fresh uncontended host —
+    # running the dryrun right after the 35-min suite starved one of its 8
+    # device threads past the rendezvous terminal timeout once (r5,
+    # SIGABRT in AwaitAndLogIfStuck; the isolated rerun passed with the
+    # bit-pinned loss). Suite last also surfaces driver-contract breakage
+    # in the first ~10 min of the gate instead of the last.
+    ok &= run("entry()+sampler smoke", [sys.executable, "-c", SMOKE])
+    dry = [sys.executable, "-c",
+           "import __graft_entry__ as g; g.dryrun_multichip(8)"]
+    if not run("dryrun_multichip(8)", dry):
+        # one retry for the known starvation flake: a genuine breakage
+        # (shape/spec/collective mismatch) is deterministic and fails
+        # again; only scheduling starvation is transient
+        print("[preflight] WARNING: dryrun failed once — retrying (the "
+              "rendezvous-starvation flake is transient; real breakage "
+              "fails deterministically)", flush=True)
+        ok &= run("dryrun_multichip(8) retry", dry)
     if not args.fast:
         ok &= run("test suite", [sys.executable, "-m", "pytest", "tests/", "-q"])
-    ok &= run("entry()+sampler smoke", [sys.executable, "-c", SMOKE])
-    ok &= run(
-        "dryrun_multichip(8)",
-        [sys.executable, "-c",
-         "import __graft_entry__ as g; g.dryrun_multichip(8)"],
-    )
     print(f"[preflight] {'ALL GREEN — safe to commit' if ok else 'RED — do not land'}")
     sys.exit(0 if ok else 1)
 
