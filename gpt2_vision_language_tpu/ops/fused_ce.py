@@ -299,20 +299,28 @@ def _make(n_chunks: int, policy: Policy, pallas_fwd: str = "never"):
         def body(_, inp):
             xc, tc = inp
             logits = tile_logits(xc, w)
-            # logsumexp's f32 upcast fuses into its reduces, but a GATHER
-            # operand must be materialized — take_along_axis on the f32
-            # upcast made XLA write a full f32 (N, V) copy of the logits
-            # (1.65 GB at the bench shape, ~2 ms/micro of pure HBM traffic,
-            # r5 trace: fusion.1357 emitted both f32 and bf16 logits).
-            # Gather from the compute-dtype tensor and upcast the 8192
-            # gathered values instead — bitwise-identical nll (f32 upcast
-            # of bf16 is exact), no second logits tensor.
+            # A GATHER operand must be materialized, so take_along_axis on
+            # the f32 upcast makes XLA write a full f32 (Nc, V) logits copy
+            # (r5 trace: fusion.1357 emitted both f32 and bf16 logits —
+            # 1.65 GB at the bench shape). Gathering from the compute-dtype
+            # tensor and upcasting the Nc gathered values is BITWISE
+            # identical (f32-of-bf16 is exact) and drops that transient —
+            # but it also measured a reproducible -0.29% on the bench
+            # (164.6k vs 165.1k tok/s, two runs each; the copy was fully
+            # overlapped there). So: chunked configs (the 774M/1558M
+            # HBM-edge recipes) take the lean gather; the ce_chunks=1
+            # bench/124M path keeps the f32 gather and the 0.3%.
             logz = jax.scipy.special.logsumexp(
                 logits.astype(jnp.float32), axis=-1
             )
-            gold = jnp.take_along_axis(logits, tc[:, None], axis=-1)[
-                :, 0
-            ].astype(jnp.float32)
+            if n_chunks == 1:
+                gold = jnp.take_along_axis(
+                    logits.astype(jnp.float32), tc[:, None], axis=-1
+                )[:, 0]
+            else:
+                gold = jnp.take_along_axis(logits, tc[:, None], axis=-1)[
+                    :, 0
+                ].astype(jnp.float32)
             return None, (logz - gold, logz)
 
         _, (nll, logz) = jax.lax.scan(body, None, (xs, ts))
